@@ -1,0 +1,255 @@
+"""Cuckoo filter + Bucket (parity: reference ``src/cuckoo/cuckoo-filter.ts``
+and ``src/cuckoo/bucket.ts``).
+
+Fingerprint = first ceil(f/8) hex chars of the element's unpadded hex
+hash string; candidate buckets ``i1 = hash % size`` and
+``i2 = (hash ^ |hash(fp)|) % size``; inserts fall back to <= maxKicks
+random kicks with a rollback log (non-destructive by default).
+
+Deviation notes:
+- the reference draws kick randomness from the ``seedrandom`` ARC4
+  PRNG; this engine uses Python's seeded ``random.Random`` — kick
+  selection randomness affects only insertion order internals, never
+  the membership contract.
+- the reference relocates kicked fingerprints to
+  ``(index ^ hash(fp)) % size`` (cuckoo-filter.ts:190-217) while
+  lookups probe ``(fullhash ^ hash(fp)) % size`` — these disagree, so
+  any kicked element becomes a false negative (reproducible defect in
+  the reference). This engine restores the standard cuckoo partner
+  involution instead: the table size is rounded up to a power of two
+  and ``i2 = i1 ^ (hash(fp) & (size-1))``, making relocation and
+  lookup agree (Fan et al., "Cuckoo Filter: Practically Better Than
+  Bloom", CoNEXT'14).
+"""
+
+from __future__ import annotations
+
+import math
+import random as _random
+
+from ..hashing import DEFAULT_SEED, xxh64
+from .serde import export_bigint, import_bigint
+
+
+def compute_fingerprint_length(size: int, rate: float) -> int:
+    f = math.ceil(math.log2(1 / rate) + math.log2(2 * size))
+    return math.ceil(f / 8)  # we use 64-bit hashes
+
+
+class Bucket:
+    def __init__(self, size: int):
+        self._elements: list[str | None] = [None] * size
+        self._size = size
+        self._length = 0
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    @property
+    def length(self) -> int:
+        return self._length
+
+    def is_free(self) -> bool:
+        return self._length < self._size
+
+    def next_empty_slot(self) -> int:
+        return self._elements.index(None)
+
+    def at(self, index: int):
+        return self._elements[index]
+
+    def add(self, element) -> bool:
+        if element is None or not self.is_free():
+            return False
+        self.set(self.next_empty_slot(), element)
+        self._length += 1
+        return True
+
+    def remove(self, element) -> bool:
+        try:
+            index = self._elements.index(element)
+        except ValueError:
+            return False
+        self.unset(index)
+        return True
+
+    def has(self, element) -> bool:
+        return element in self._elements
+
+    def set(self, index: int, element) -> None:
+        self._elements[index] = element
+
+    def unset(self, index: int) -> None:
+        self._elements[index] = None
+        self._length -= 1
+
+    def swap(self, index: int, element):
+        tmp = self._elements[index]
+        self._elements[index] = element
+        return tmp
+
+    def equals(self, other: "Bucket") -> bool:
+        return (self._size == other._size and self._length == other._length
+                and self._elements == other._elements)
+
+    def save_as_json(self) -> dict:
+        return {"_size": self._size, "_elements": list(self._elements),
+                "_length": self._length}
+
+    @staticmethod
+    def from_json(data: dict) -> "Bucket":
+        b = Bucket(data["_size"])
+        b._elements = list(data["_elements"])
+        b._length = data["_length"]
+        return b
+
+
+class CuckooFilter:
+    def __init__(self, size: int, f_length: int, bucket_size: int,
+                 max_kicks: int = 500, seed: int = DEFAULT_SEED):
+        size = 1 << max(1, (size - 1).bit_length())  # power of two (see module note)
+        self._filter = [Bucket(bucket_size) for _ in range(size)]
+        self._size = size
+        self._bucket_size = bucket_size
+        self._fingerprint_length = f_length
+        self._length = 0
+        self._max_kicks = max_kicks
+        self._seed = seed
+        self._rng = _random.Random(seed)
+
+    @classmethod
+    def create(cls, size: int, error_rate: float, bucket_size: int = 4,
+               max_kicks: int = 500, seed: int = DEFAULT_SEED) -> "CuckooFilter":
+        fl = compute_fingerprint_length(bucket_size, error_rate)
+        capacity = math.ceil(size / bucket_size / 0.955)
+        return cls(capacity, fl, bucket_size, max_kicks, seed)
+
+    @classmethod
+    def from_items(cls, items, error_rate: float, bucket_size: int = 4,
+                   max_kicks: int = 500, seed: int = DEFAULT_SEED) -> "CuckooFilter":
+        items = list(items)
+        f = cls.create(len(items), error_rate, bucket_size, max_kicks, seed)
+        for item in items:
+            f.add(item)
+        return f
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    @property
+    def full_size(self) -> int:
+        return self._size * self._bucket_size
+
+    @property
+    def length(self) -> int:
+        return self._length
+
+    @property
+    def fingerprint_length(self) -> int:
+        return self._fingerprint_length
+
+    @property
+    def bucket_size(self) -> int:
+        return self._bucket_size
+
+    @property
+    def max_kicks(self) -> int:
+        return self._max_kicks
+
+    def _locations(self, element) -> tuple[str, int, int]:
+        h = xxh64(element, self._seed)
+        hex_str = format(h, "x")  # unpadded, like bigint.toString(16)
+        if self._fingerprint_length > len(hex_str):
+            raise ValueError(
+                f"The fingerprint length ({self._fingerprint_length}) is higher "
+                f"than the hash length ({len(hex_str)})")
+        fingerprint = hex_str[: self._fingerprint_length]
+        mask = self._size - 1
+        i1 = h & mask
+        i2 = i1 ^ (xxh64(fingerprint, self._seed) & mask)
+        return fingerprint, i1, i2
+
+    def add(self, element, throw_error: bool = False, destructive: bool = False) -> bool:
+        fp, i1, i2 = self._locations(element)
+        if self._filter[i1].is_free():
+            self._filter[i1].add(fp)
+        elif self._filter[i2].is_free():
+            self._filter[i2].add(fp)
+        else:
+            index = i1 if self._rng.random() < 0.5 else i2
+            moved = fp
+            logs: list[tuple[int, int, str | None]] = []
+            for _ in range(self._max_kicks):
+                rnd_index = self._rng.randint(0, self._filter[index].length - 1)
+                tmp = self._filter[index].at(rnd_index)
+                logs.append((index, rnd_index, tmp))
+                self._filter[index].set(rnd_index, moved)
+                moved = tmp
+                index = index ^ (xxh64(moved, self._seed) & (self._size - 1))
+                if self._filter[index].is_free():
+                    self._filter[index].add(moved)
+                    self._length += 1
+                    return True
+            if not destructive:
+                for bi, si, val in reversed(logs):
+                    self._filter[bi].set(si, val)
+            if throw_error:
+                raise RuntimeError(
+                    f'The Cuckoo Filter is full, cannot insert element "{element}"')
+            return False
+        self._length += 1
+        return True
+
+    def remove(self, element) -> bool:
+        fp, i1, i2 = self._locations(element)
+        if self._filter[i1].has(fp):
+            self._filter[i1].remove(fp)
+            self._length -= 1
+            return True
+        if self._filter[i2].has(fp):
+            self._filter[i2].remove(fp)
+            self._length -= 1
+            return True
+        return False
+
+    def has(self, element) -> bool:
+        fp, i1, i2 = self._locations(element)
+        return self._filter[i1].has(fp) or self._filter[i2].has(fp)
+
+    def rate(self) -> float:
+        load = self._load()["load"]
+        c = self._fingerprint_length / load
+        return 2 ** (math.log2(2 * self._bucket_size) - load * c)
+
+    def _load(self) -> dict:
+        mx = len(self._filter) * self._bucket_size
+        used = sum(b.length for b in self._filter)
+        return {"used": used, "free": mx - used, "size": mx, "load": used / mx}
+
+    def equals(self, other: "CuckooFilter") -> bool:
+        return (self._size == other._size
+                and self._fingerprint_length == other._fingerprint_length
+                and self._bucket_size == other._bucket_size
+                and all(a.equals(b) for a, b in zip(self._filter, other._filter)))
+
+    def save_as_json(self) -> dict:
+        return {
+            "_size": self._size,
+            "_fingerprintLength": self._fingerprint_length,
+            "_length": self._length,
+            "_maxKicks": self._max_kicks,
+            "_filter": [b.save_as_json() for b in self._filter],
+            "_seed": export_bigint(self._seed),
+            "_bucketSize": self._bucket_size,
+        }
+
+    @staticmethod
+    def from_json(data: dict) -> "CuckooFilter":
+        f = CuckooFilter(data["_size"], data["_fingerprintLength"],
+                         data["_bucketSize"], data["_maxKicks"],
+                         import_bigint(data["_seed"]))
+        f._length = data["_length"]
+        f._filter = [Bucket.from_json(b) for b in data["_filter"]]
+        return f

@@ -1,0 +1,134 @@
+"""HyperLogLog (parity: reference ``src/sketch/hyperloglog.ts``).
+
+m registers (power of two); per element the 64-bit hash is split as:
+register index = the LOW b bits (the reference slices the last b chars
+of the binary string — hyperloglog.ts:95-105), and the stored value is
+the 0-based index of the leftmost 1-bit of the HIGH k = 64-b bits
+(default k-1 when they are all zero). The estimator replicates the
+reference's non-standard ``alpha * m^2 * 2 / Z`` (the extra *2
+compensates the 0-based rank) with its small/large-range corrections.
+``merge`` = elementwise register max.
+
+Hash-family note: the reference hashes with XXH3-64 (hyperloglog.ts:4,
+96-97); python has no xxh3 available here, so the engine uses XXH64
+with the same seed — identical statistical contract, documented
+deviation, pluggable via *hasher*.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..hashing import DEFAULT_SEED, xxh64, xxh64_arrow
+from .serde import export_bigint, import_bigint
+
+_TWO_POW_32 = 2.0**32
+
+
+def _alpha(m: int) -> float:
+    if m < 16:
+        return 1.0
+    if m < 32:
+        return 0.673
+    if m < 64:
+        return 0.697
+    if m < 128:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 arrays (exact, no float)."""
+    x = x.copy()
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        out[big] += shift
+        x[big] >>= np.uint64(shift)
+    out[x > 0] += 1
+    return out
+
+
+class HyperLogLog:
+    HASH_SIZE = 64
+
+    def __init__(self, nb_registers: int, seed: int = DEFAULT_SEED):
+        if nb_registers & (nb_registers - 1) != 0:
+            raise ValueError("The number of registers should be a power of 2")
+        self._m = nb_registers
+        self._b = math.ceil(math.log2(nb_registers))
+        self._correction_bias = _alpha(nb_registers)
+        self._registers = np.zeros(nb_registers, dtype=np.int64)
+        self._seed = seed
+
+    @property
+    def nb_registers(self) -> int:
+        return self._m
+
+    def update(self, element) -> None:
+        x = xxh64(element, self._seed)
+        k = self.HASH_SIZE - self._b
+        register_index = x & (self._m - 1)  # low b bits
+        top = x >> self._b  # high k bits
+        leftmost_pos = k - 1 if top == 0 else k - top.bit_length()
+        self._registers[register_index] = max(self._registers[register_index], leftmost_pos)
+
+    def update_many(self, elements) -> None:
+        """Vectorized bulk update (engine extension; pyarrow/list input)."""
+        if len(elements) == 0:
+            return
+        import pyarrow as pa
+
+        if not isinstance(elements, (pa.Array, pa.ChunkedArray)):
+            elements = pa.array([e.encode() if isinstance(e, str) else bytes(e)
+                                 for e in elements], type=pa.binary())
+        x = xxh64_arrow(elements, self._seed)
+        k = self.HASH_SIZE - self._b
+        idx = (x & np.uint64(self._m - 1)).astype(np.int64)
+        top = x >> np.uint64(self._b)
+        lp = np.where(top == 0, k - 1, k - _bit_length_u64(top))
+        np.maximum.at(self._registers, idx, lp)
+
+    def count(self, round_result: bool = False) -> float:
+        Z = float(np.sum(np.power(2.0, -self._registers.astype(np.float64))))
+        raw = (self._correction_bias * self._m * self._m * 2) / Z
+        if raw <= 2.5 * self._m:
+            V = int(np.sum(self._registers == 0))
+            est = self._m * math.log(self._m / V) if V > 0 else raw
+        elif raw <= _TWO_POW_32 / 30:
+            est = raw
+        else:
+            est = -_TWO_POW_32 * math.log(1 - raw / _TWO_POW_32)
+        return round(est) if round_result else est
+
+    def relative_error(self) -> float:
+        return 1.04 / math.sqrt(self._m)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if self._m != other._m:
+            raise ValueError("Two HyperLogLog must have the same number of registers to be merged")
+        out = HyperLogLog(self._m, self._seed)
+        out._registers = np.maximum(self._registers, other._registers)
+        return out
+
+    def equals(self, other: "HyperLogLog") -> bool:
+        return self._m == other._m and np.array_equal(self._registers, other._registers)
+
+    def save_as_json(self) -> dict:
+        return {
+            "_m": self._m,
+            "_b": self._b,
+            "_correctionBias": self._correction_bias,
+            "_registers": self._registers.tolist(),
+            "_seed": export_bigint(self._seed),
+        }
+
+    @staticmethod
+    def from_json(data: dict) -> "HyperLogLog":
+        f = HyperLogLog(data["_m"], import_bigint(data["_seed"]))
+        f._b = data["_b"]
+        f._correction_bias = data["_correctionBias"]
+        f._registers = np.asarray(data["_registers"], dtype=np.int64)
+        return f

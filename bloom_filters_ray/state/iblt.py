@@ -1,0 +1,195 @@
+"""Invertible Bloom Lookup Table + Cell (parity: reference
+``src/iblt/invertible-bloom-lookup-tables.ts`` and ``src/iblt/cell.ts``).
+
+Set-difference sketch: size = ceil(d*alpha) rounded up to a multiple of
+hashCount; each element XORs its utf-8 bytes/checksum into hashCount
+cells; ``substract`` is cellwise xorm; ``decode`` peels pure cells
+(count == ±1 and checksum match) into {additional, missing}.
+
+The byte-XOR replicates the reference's right-aligned XOR with
+leading-zero trim (``src/utils.ts:58-90``).
+
+Deviation note: the reference derives the checksum and cell indexes
+from XXH3-128 (fixed seed 125 for the checksum, incrementing salt for
+indexes — iblt:170-205, ignoring the filter's own seed); python has no
+xxh3 here, so the engine derives the same byte-stream structure from
+XXH64: checksum = signed-int32 of the first 4 big-endian digest bytes
+of xxh64(value, 125); indexes consume 4-byte words of successive
+xxh64(value, salt=0,1,...) digests. Same contract, different family.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..hashing import DEFAULT_SEED, xxh64
+from .serde import export_bigint, import_bigint
+
+
+def xor_bytes(a: bytes, b: bytes) -> bytes:
+    """Right-aligned XOR with leading-zero trim (utils.ts:58-90)."""
+    n = max(len(a), len(b))
+    a = a.rjust(n, b"\x00")
+    b = b.rjust(n, b"\x00")
+    out = bytes(x ^ y for x, y in zip(a, b))
+    return out.lstrip(b"\x00")
+
+
+def _int32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+class Cell:
+    def __init__(self, id_sum: bytes, hash_sum: int, count: int):
+        self._id_sum = id_sum
+        self._hash_sum = hash_sum
+        self._count = count
+
+    @staticmethod
+    def empty() -> "Cell":
+        return Cell(b"", 0, 0)
+
+    def add(self, id_sum: bytes, hash_sum: int) -> None:
+        self._id_sum = xor_bytes(self._id_sum, id_sum)
+        self._hash_sum = _int32(self._hash_sum ^ hash_sum)
+        self._count += 1
+
+    def xorm(self, cell: "Cell") -> "Cell":
+        return Cell(xor_bytes(self._id_sum, cell._id_sum),
+                    _int32(self._hash_sum ^ cell._hash_sum),
+                    self._count - cell._count)
+
+    def is_empty(self) -> bool:
+        return self._id_sum == b"" and self._hash_sum == 0 and self._count == 0
+
+    def equals(self, cell: "Cell") -> bool:
+        return (self._count == cell._count and self._id_sum == cell._id_sum
+                and self._hash_sum == cell._hash_sum)
+
+    def save_as_json(self) -> dict:
+        return {"_idSum": list(self._id_sum), "_hashSum": self._hash_sum,
+                "_count": self._count}
+
+    @staticmethod
+    def from_json(data: dict) -> "Cell":
+        return Cell(bytes(data["_idSum"]), data["_hashSum"], data["_count"])
+
+
+class InvertibleBloomFilter:
+    def __init__(self, differences: int, alpha: float = 2, hash_count: int = 6,
+                 seed: int = DEFAULT_SEED):
+        self._differences = differences
+        self._alpha = alpha
+        self._hash_count = hash_count
+        self._seed = seed
+        self._size = math.ceil(differences * alpha)
+        self._size += self._hash_count - (self._size % self._hash_count)
+        self._elements = [Cell.empty() for _ in range(self._size)]
+
+    @property
+    def length(self) -> float:
+        return sum(c._count for c in self._elements) / self._hash_count
+
+    def gen_hash(self, element: str) -> int:
+        digest = xxh64(element, 125).to_bytes(8, "big")
+        h = 0
+        for j in range(4):
+            h = (h << 8) | digest[j]
+        return _int32(h)
+
+    def gen_indexes(self, element: str) -> list[int]:
+        indexes = []
+        salt = 0
+        while len(indexes) < self._hash_count:
+            digest = xxh64(element, salt).to_bytes(8, "big")
+            salt += 1
+            for i in range(0, 8, 4):
+                if len(indexes) >= self._hash_count:
+                    break
+                h = _int32(int.from_bytes(digest[i : i + 4], "big"))
+                indexes.append(abs(h) % self._size)
+        return indexes
+
+    def add(self, element: str) -> None:
+        value = element.encode("utf-8")
+        h = self.gen_hash(element)
+        for index in self.gen_indexes(element):
+            self._elements[index].add(value, h)
+
+    def remove(self, element: str) -> bool:
+        value = element.encode("utf-8")
+        h = self.gen_hash(element)
+        for index in self.gen_indexes(element):
+            self._elements[index] = self._elements[index].xorm(Cell(value, h, 1))
+        return True
+
+    def has(self, element: str) -> bool:
+        return all(self._elements[i]._count != 0 for i in self.gen_indexes(element))
+
+    def is_cell_pure(self, cell: Cell) -> bool:
+        if cell._count not in (1, -1):
+            return False
+        try:
+            value = cell._id_sum.decode("utf-8")
+        except UnicodeDecodeError:
+            return False
+        return self.gen_hash(value) == cell._hash_sum
+
+    def list_entries(self) -> list[str]:
+        copy = InvertibleBloomFilter.from_json(self.save_as_json())
+        result = []
+        while True:
+            cell = next((c for c in copy._elements if c._count in (1, -1)), None)
+            if cell is None:
+                return result
+            value = cell._id_sum.decode("utf-8")
+            result.append(value)
+            copy.remove(value)
+
+    def substract(self, other: "InvertibleBloomFilter") -> "InvertibleBloomFilter":
+        if self._size != other._size:
+            raise ValueError("The two Invertible Bloom Filters must be of the same size")
+        res = InvertibleBloomFilter(other._differences, other._alpha,
+                                    other._hash_count, self._seed)
+        res._elements = [a.xorm(b) for a, b in zip(self._elements, other._elements)]
+        return res
+
+    def decode(self) -> dict:
+        additional: list[str] = []
+        missing: list[str] = []
+        pure = [i for i, c in enumerate(self._elements) if self.is_cell_pure(c)]
+        while pure:
+            idx = pure.pop(0)
+            cell = self._elements[idx]
+            if not self.is_cell_pure(cell):
+                continue
+            value = cell._id_sum.decode("utf-8")
+            c = cell._count
+            (additional if c > 0 else missing).append(value)
+            h = self.gen_hash(value)
+            for index in self.gen_indexes(value):
+                self._elements[index] = self._elements[index].xorm(
+                    Cell(cell._id_sum, h, c))
+                if self.is_cell_pure(self._elements[index]):
+                    pure.append(index)
+        if any(not c.is_empty() for c in self._elements):
+            return {"success": False, "additional": additional, "missing": missing}
+        return {"success": True, "additional": additional, "missing": missing}
+
+    def save_as_json(self) -> dict:
+        return {
+            "_alpha": self._alpha,
+            "_differences": self._differences,
+            "_elements": [c.save_as_json() for c in self._elements],
+            "_size": self._size,
+            "_hashCount": self._hash_count,
+            "_seed": export_bigint(self._seed),
+        }
+
+    @staticmethod
+    def from_json(data: dict) -> "InvertibleBloomFilter":
+        f = InvertibleBloomFilter(data["_differences"], data["_alpha"],
+                                  data["_hashCount"], import_bigint(data["_seed"]))
+        f._elements = [Cell.from_json(c) for c in data["_elements"]]
+        return f
