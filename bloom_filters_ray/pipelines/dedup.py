@@ -1,0 +1,268 @@
+"""The flagship pipeline: exact + near-duplicate detection and
+clustering over an (id, caption) corpus.
+
+    input ──h──► exact tier (hash-partitioned groupby, min-id rep)
+          │                        │
+          │   reps ──► MinHash sigs ──► LSH band rows ──► hash-partitioned
+          │                  │             buckets ──► candidate pairs
+          │                  └──────────► verification (broadcast or hash join)
+          │                                   │ edges (sim ≥ τ)
+          └──────────► assignment ◄── union-find (driver) ◄──┘
+
+Cluster id = min id of the connected component (deterministic).
+
+Scale properties:
+- the only all-to-all exchanges move (hash, id, caption) or
+  (band_key, id) rows — image bytes never enter a shuffle;
+- exactly TWO keyed shuffles end to end (exact tier, band buckets);
+  candidate pairs are deduped block-locally instead of globally —
+  cross-block duplicates only cost a re-verification and the
+  union-find is idempotent;
+- candidate generation is block-vectorized after key-hash
+  repartitioning, never per-group ``map_groups`` calls;
+- hot buckets are capped to O(s) spanning edges (stages/neardup.py);
+- the union-find state is bounded by the verified-duplicate set, not
+  the corpus;
+- verification broadcasts the signature table while it fits
+  (``ray.put`` once, worker-local cache), and switches to an explicit
+  two-sided hash join above ``broadcast_limit`` rows.
+
+Intermediates (exact map, signatures, edges) can be checkpointed to
+parquet via ``checkpoint_dir``; a resumed run skips any stage whose
+``_SUCCESS`` marker exists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import DEFAULT_SEED, xxh64_arrow
+from ..stages.neardup import (UnionFind, dedupe_pairs_block,
+                              make_band_rows, make_broadcast_verifier,
+                              make_pair_emitter, make_signature_fn,
+                              sig_matrix, verify_block)
+from ..util import ensure_hash_shuffle
+
+
+@dataclasses.dataclass
+class DedupConfig:
+    id_col: str = "image_id"
+    text_col: str = "caption"
+    nb_hashes: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    shingle_k: int = 3
+    threshold: float = 0.8
+    max_bucket: int = 128
+    seed: int = DEFAULT_SEED
+    num_partitions: int | None = None  # None: ~1 per cluster CPU
+    broadcast_limit: int = 2_000_000  # sig rows; above this use the hash join
+    checkpoint_dir: str | None = None
+
+    def __post_init__(self):
+        assert self.bands * self.rows_per_band == self.nb_hashes, \
+            "bands * rows_per_band must equal nb_hashes"
+
+    def partitions(self) -> int:
+        if self.num_partitions is not None:
+            return self.num_partitions
+        from ..util import cluster_cpus
+
+        return max(8, cluster_cpus())
+
+
+def _add_caption_hash(cfg: DedupConfig):
+    def fn(batch: pa.Table) -> pa.Table:
+        h = xxh64_arrow(batch[cfg.text_col], cfg.seed).astype(np.int64)
+        return batch.append_column("caption_hash", pa.array(h))
+    return fn
+
+
+def _exact_rep_block(cfg: DedupConfig):
+    """Whole-block (post hash-partition) exact-dup resolution:
+    representative = min id per caption_hash group."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = batch["caption_hash"].to_numpy(zero_copy_only=False)
+        ids = batch[cfg.id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        group_of = np.cumsum(first) - 1
+        rep_sorted = ids[order][np.flatnonzero(first)][group_of]
+        rep = np.empty_like(rep_sorted)
+        rep[order] = rep_sorted
+        out = batch.append_column("rep_id", pa.array(rep))
+        return out.append_column("is_rep", pa.array(rep == ids))
+
+    return fn
+
+
+def exact_tier(ds, cfg: DedupConfig):
+    """input → (id, caption, caption_hash, rep_id, is_rep): exact-dup
+    groups resolved to min-id representatives. One keyed shuffle."""
+    ds = ds.map_batches(_add_caption_hash(cfg), batch_format="pyarrow")
+    ds = ds.repartition(cfg.partitions(), keys=["caption_hash"])
+    return ds.map_batches(_exact_rep_block(cfg), batch_format="pyarrow",
+                          batch_size=None)
+
+
+def signatures(reps_ds, cfg: DedupConfig):
+    return reps_ds.map_batches(
+        make_signature_fn(cfg.id_col, cfg.text_col, cfg.nb_hashes,
+                          cfg.shingle_k, cfg.seed),
+        batch_format="pyarrow", batch_size=8192)
+
+
+def candidate_pairs(sigs_ds, cfg: DedupConfig):
+    """sigs → band rows → hash-partitioned buckets → pairs (block-local
+    dedupe). One keyed shuffle; emitted pairs may repeat across blocks."""
+    bands_ds = sigs_ds.map_batches(
+        make_band_rows(cfg.id_col, cfg.bands, cfg.rows_per_band, cfg.seed),
+        batch_format="pyarrow")
+    bands_ds = bands_ds.repartition(cfg.partitions(), keys=["band_key"])
+    pairs = bands_ds.map_batches(
+        make_pair_emitter(cfg.id_col, cfg.max_bucket),
+        batch_format="pyarrow", batch_size=None)
+    return pairs.map_batches(dedupe_pairs_block, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def verify_pairs_broadcast(pairs_ds, sig_table: pa.Table, cfg: DedupConfig):
+    """Small-side fast path: ship the signature matrix once via
+    ``ray.put``; workers cache it locally."""
+    import ray
+
+    ref = ray.put((sig_table[cfg.id_col].to_pylist(), sig_matrix(sig_table)))
+    return pairs_ds.map_batches(
+        make_broadcast_verifier(ref, cfg.threshold),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def verify_pairs_join(pairs_ds, sigs_ds, cfg: DedupConfig):
+    """Scale path: two hash joins pairs⋈sigs (on a, then on b)."""
+    sigs = sigs_ds.select_columns([cfg.id_col, "sig"])
+    j1 = pairs_ds.join(sigs, "inner", cfg.partitions(),
+                       on=("a",), right_on=(cfg.id_col,))
+    j1 = _rename(j1, "sig", "sig_a")
+    j2 = j1.join(sigs, "inner", cfg.partitions(),
+                 on=("b",), right_on=(cfg.id_col,))
+    j2 = _rename(j2, "sig", "sig_b")
+    return j2.map_batches(lambda t: verify_block(t, cfg.threshold),
+                          batch_format="pyarrow")
+
+
+def _rename(ds, old: str, new: str):
+    return ds.rename_columns({old: new})
+
+
+def connected_components(edges_iter) -> dict:
+    """Stream verified (a, b) edge batches into a driver union-find;
+    returns {id: cluster_id} for every id touched by an edge."""
+    uf = UnionFind()
+    for batch in edges_iter:
+        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            uf.union(x, y)
+    return uf.components()
+
+
+def assign_clusters(exact_ds, comp_map: dict, cfg: DedupConfig):
+    """exact-tier output + component map → (id, rep_id, is_rep, cluster_id)."""
+    import ray
+
+    ref = ray.put(comp_map)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        comp = _get_cached_map(ref)
+        reps = batch["rep_id"].to_pylist()
+        cluster = [comp.get(r, r) for r in reps]
+        out = batch.select([cfg.id_col, "rep_id", "is_rep"])
+        return out.append_column("cluster_id",
+                                 pa.array(cluster, type=batch["rep_id"].type))
+
+    return exact_ds.map_batches(fn, batch_format="pyarrow")
+
+
+_MAP_CACHE: dict = {}
+
+
+def _get_cached_map(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _MAP_CACHE:
+        import ray
+
+        _MAP_CACHE.clear()
+        _MAP_CACHE[key] = ray.get(ref)
+    return _MAP_CACHE[key]
+
+
+def _ckpt(ds, cfg: DedupConfig, name: str):
+    """Materialize a stage — through a parquet checkpoint when
+    configured (a resumed run reads it back instead of recomputing),
+    else in the object store."""
+    if cfg.checkpoint_dir:
+        import ray.data
+
+        path = os.path.join(cfg.checkpoint_dir, name)
+        done = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(done):
+            ds.write_parquet(path)
+            with open(done, "w") as f:
+                f.write("ok")
+        return ray.data.read_parquet(path)
+    return ds.materialize()
+
+
+def dedup_pipeline(ds, cfg: DedupConfig | None = None):
+    """Full pipeline; returns (assignments_ds, stats dict).
+
+    *ds* must have columns [cfg.id_col, cfg.text_col].
+    """
+    cfg = cfg or DedupConfig()
+    ensure_hash_shuffle()
+
+    # execution 1 (shuffle 1): exact tier
+    exact = _ckpt(exact_tier(ds, cfg), cfg, "exact")
+    n_input = exact.count()
+
+    # execution 2 (no shuffle): signatures of unique captions, collected
+    # to one Arrow table while under broadcast_limit
+    reps = exact.filter(expr="is_rep == True").select_columns(
+        [cfg.id_col, cfg.text_col])
+    sigs = _ckpt(signatures(reps, cfg), cfg, "sigs")
+    n_sigs = sigs.count()
+
+    # execution 3 (shuffle 2): bands → pairs → verify → edges
+    pairs = candidate_pairs(sigs, cfg)
+    if n_sigs <= cfg.broadcast_limit:
+        sig_table = pa.concat_tables(
+            [b for b in sigs.select_columns([cfg.id_col, "sig"])
+             .iter_batches(batch_size=65536, batch_format="pyarrow")])
+        edges = verify_pairs_broadcast(pairs, sig_table, cfg)
+    else:
+        edges = verify_pairs_join(pairs, sigs, cfg)
+    edge_batches = []
+    n_edges = 0
+    comp_uf = UnionFind()
+    for batch in edges.select_columns(["a", "b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        n_edges += len(batch)
+        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            comp_uf.union(x, y)
+    comp = comp_uf.components()
+
+    # execution 4 (no shuffle): final assignment
+    assignments = assign_clusters(exact, comp, cfg)
+    stats = {
+        "n_input": n_input,
+        "n_unique_captions": n_sigs,
+        "n_edges": n_edges,
+        "n_dup_ids_in_components": len(comp),
+        "n_components": len(set(comp.values())),
+    }
+    return assignments, stats

@@ -1,0 +1,200 @@
+"""Deterministic synthetic image+caption corpus.
+
+Builds the engine's logical input table — per ``BASELINE.json:input_hint``
+``(image_id string, bytes binary, w int32, h int32, fmt string,
+caption string, phash int64)`` — from a ``documents`` parquet table,
+with planted duplicates so dedup pipelines have ground truth:
+
+- variant 0: the original (caption = trimmed document text, pixels
+  seeded by the caption hash)
+- variant 1 and every variant >= 3: exact duplicates (same caption,
+  same pixels)
+- variant 2: a near duplicate (caption = text minus its last word,
+  pixels = original + small deterministic noise)
+
+``image_id = f"img-{doc_id:08d}-{variant}"``. Everything derives from
+the row's content (never from partition or batch position), so the
+corpus is identical under any Ray partitioning/parallelism — and the
+caption logic is reproducible in ANSI SQL for DuckDB oracles
+(``trim(text)`` / ``regexp_replace(trim(text), ' [^ ]*$', '')``).
+
+Images are headerless RGB8 buffers (``fmt='rgb8'``, len = w*h*3),
+decodable with numpy alone — real decoders (png/jpeg) are stubbed in
+stages/multimodal.py because the sandbox has no image libraries.
+Pixels come from a vectorized XXH64 counter keystream seeded by the
+caption; the near-dup variant adds uniform noise in [-2, 2] (PSNR
+~45 dB, above the BASELINE 40 dB lossy bound).
+
+phash is a real 64-bit average-hash computed from the decoded pixels
+(8x8 average-pooled grayscale thresholded at its mean), so
+near-duplicate images have nearby phash (small Hamming distance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import xxh64, xxh64_u64
+
+CORPUS_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("fmt", pa.string()),
+    ("caption", pa.string()),
+    ("phash", pa.int64()),
+    ("doc_id", pa.int64()),
+    ("variant", pa.int32()),
+])
+
+_MASK64 = (1 << 64) - 1
+
+
+def _keystream(seed: int, nbytes: int) -> np.ndarray:
+    """Deterministic byte stream: XXH64 over a counter block."""
+    nwords = (nbytes + 7) // 8
+    ctr = (np.arange(nwords, dtype=np.uint64)
+           + np.uint64(seed & _MASK64))  # wraps mod 2^64, deterministic
+    return xxh64_u64(ctr).view(np.uint8)[:nbytes]
+
+
+def _pixels(caption: str, w: int, h: int, noise_seed: int | None) -> np.ndarray:
+    img = _keystream(xxh64(caption, 7), w * h * 3).reshape(h, w, 3)
+    if noise_seed is not None:
+        noise = (_keystream(noise_seed, w * h * 3).astype(np.int16) % 5 - 2
+                 ).reshape(h, w, 3)
+        img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    return img
+
+
+def average_phash(img: np.ndarray) -> int:
+    """64-bit average hash: 8x8 average-pooled grayscale > mean."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    pooled = np.add.reduceat(np.add.reduceat(gray, ys[:-1], axis=0), xs[:-1], axis=1)
+    area = (np.diff(ys)[:, None] * np.diff(xs)[None, :])
+    pooled = pooled / area
+    bits = (pooled > pooled.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def drop_last_word(text: str) -> str:
+    toks = text.split(" ")
+    return " ".join(toks[:-1]) if len(toks) > 1 else text
+
+
+def make_variants(batch: pa.Table, copies: int = 3, with_bytes: bool = True) -> pa.Table:
+    """Expand a documents batch (doc_id, text) into corpus rows
+    (doc-major order: d0v0, d0v1, ..., d1v0, ...).
+
+    Stateless ``map_batches`` transform; caption logic is columnar,
+    pixel synthesis + phash run per row (inherently per-image work,
+    matching what a real decode stage would do).
+    """
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(doc_ids)
+    base_cap = pc.utf8_trim_whitespace(
+        batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray)
+        else batch["text"])
+    near_cap = pc.replace_substring_regex(base_cap, pattern=" [^ ]*$",
+                                          replacement="")
+    # interleave doc-major: position d*copies + v  <-  variant-major v*n + d
+    perm = (np.arange(copies, dtype=np.int64)[None, :] * n
+            + np.arange(n, dtype=np.int64)[:, None]).ravel()
+    cap_blocks = [near_cap if v == 2 else base_cap for v in range(copies)]
+    captions = pa.concat_arrays([pa.array(c) if not isinstance(c, pa.Array) else c
+                                 for c in cap_blocks]).take(pa.array(perm))
+    did_rep = np.repeat(doc_ids, copies)
+    var_rep = np.tile(np.arange(copies, dtype=np.int32), n)
+    image_ids = [f"img-{d:08d}-{v}" for d, v in zip(did_rep, var_rep)]
+    w = (16 + did_rep % 17).astype(np.int32)
+    h = (16 + did_rep % 13).astype(np.int32)
+
+    if with_bytes:
+        base_list = base_cap.to_pylist()
+        buf: list[bytes] = []
+        phash = np.empty(n * copies, dtype=np.int64)
+        row = 0
+        for i in range(n):
+            text = base_list[i]
+            wi, hi = int(w[row]), int(h[row])
+            base_img = _pixels(text, wi, hi, None)
+            near_img = None
+            base_ph = average_phash(base_img)
+            for v in range(copies):
+                if v == 2:
+                    if near_img is None:
+                        near_img = _pixels(text, wi, hi, noise_seed=xxh64(text, 99))
+                    buf.append(near_img.tobytes())
+                    phash[row] = average_phash(near_img)
+                else:
+                    buf.append(base_img.tobytes())
+                    phash[row] = base_ph
+                row += 1
+        bytes_col = pa.array(buf, type=pa.binary())
+    else:
+        bytes_col = pa.array([b""] * (n * copies), type=pa.binary())
+        phash = np.zeros(n * copies, dtype=np.int64)
+
+    return pa.Table.from_arrays(
+        [pa.array(image_ids, type=pa.string()), bytes_col,
+         pa.array(w), pa.array(h),
+         pa.array(["rgb8"] * (n * copies), type=pa.string()),
+         captions, pa.array(phash),
+         pa.array(did_rep), pa.array(var_rep)],
+        schema=CORPUS_SCHEMA)
+
+
+def corpus_dataset(sf_dir: str, copies: int = 3, with_bytes: bool = True,
+                   parallelism: int | None = None):
+    """Lazy Ray Dataset of the synthetic corpus for *sf_dir*.
+
+    The documents parquet is a single row group (one read block), so the
+    read is explicitly split into ~2 blocks/CPU before the generation
+    map — otherwise one task would synthesize the whole corpus.
+    """
+    import ray.data
+
+    from ..util import cluster_cpus, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    if parallelism is None:
+        parallelism = max(2, 2 * cluster_cpus())
+    ds = ds.repartition(parallelism)
+    return ds.map_batches(
+        lambda b: make_variants(b, copies=copies, with_bytes=with_bytes),
+        batch_format="pyarrow", batch_size=512)
+
+
+def decode_rgb8(buf: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a headerless rgb8 payload back to (h, w, 3) uint8."""
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+
+
+# Shared DuckDB CTE reconstructing the caption-side corpus columns from
+# the `documents` view — the oracle twin of make_variants (bytes/phash
+# are not SQL-expressible and are excluded from oracled queries).
+CORPUS_SQL = """
+corpus AS (
+    SELECT printf('img-%08d-%d', doc_id, v.variant) AS image_id,
+           CASE WHEN v.variant = 2
+                THEN regexp_replace(trim(text), ' [^ ]*$', '')
+                ELSE trim(text) END AS caption,
+           CAST(16 + doc_id % 17 AS INTEGER) AS w,
+           CAST(16 + doc_id % 13 AS INTEGER) AS h,
+           'rgb8' AS fmt,
+           doc_id,
+           v.variant
+    FROM documents, (SELECT unnest([0, 1, 2]) AS variant) v
+)
+"""

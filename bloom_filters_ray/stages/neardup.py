@@ -1,0 +1,259 @@
+"""Near-duplicate detection operators: MinHash signatures, LSH band
+keys, candidate-pair generation, pair verification, union-find.
+
+Shuffle discipline (the part that must survive 10^12 rows):
+- band rows carry only ``(band_key: uint64, id)`` — never captions,
+  never signatures, never image bytes;
+- candidate pairs are generated per hash-partitioned block with
+  vectorized numpy group processing (``repartition(P, keys=["band_key"])``
+  + whole-block ``map_batches``), not per-group ``map_groups`` calls;
+- hot buckets are capped: a bucket larger than ``max_bucket`` emits a
+  spanning star+chain (O(s) edges) instead of O(s^2) pairs — enough to
+  keep its members connected for clustering while bounding skew
+  (SURVEY.md §2.7, §4.2 "salt hot bands");
+- pair verification joins pairs back to the signature table — an
+  explicit hash join at scale, a broadcast (``ray.put``) fast path
+  when the signature table is small.
+
+Signature semantics follow the reference MinHash (positional equality
+fraction = ``compareWith``, src/sketch/min-hash.ts:117-132) over
+k-shingle sets of the caption (stages/shingle.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import DEFAULT_SEED, xxh64_fixed
+from ..state.minhash import MinHashFactory
+from .shingle import SHINGLE_MASK, shingle_hashes
+
+MAX_VALUE = 1 << 26
+
+
+@functools.lru_cache(maxsize=8)
+def _factory(nb_hashes: int, seed: int) -> MinHashFactory:
+    """Worker-local permutation table, built once per (config, worker)."""
+    return MinHashFactory(nb_hashes, MAX_VALUE, seed)
+
+
+def make_signature_fn(id_col: str = "image_id", text_col: str = "caption",
+                      nb_hashes: int = 128, shingle_k: int = 3,
+                      seed: int = DEFAULT_SEED):
+    """map_batches fn: (id, text) → (id, sig fixed_size_list<int64>[k],
+    n_shingles). Deterministic from (nb_hashes, seed) alone, so every
+    worker derives the identical permutation table."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        factory = _factory(nb_hashes, seed)
+        flat, offsets = shingle_hashes(batch[text_col], shingle_k, seed)
+        vals = (flat & SHINGLE_MASK).astype(np.int64)
+        sigs = factory.signatures(vals, offsets)  # (n, k) int64, -1 if empty
+        n, k = sigs.shape
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), type=pa.int64()), k)
+        return pa.Table.from_arrays(
+            [batch[id_col], sig_col,
+             pa.array(np.diff(offsets), type=pa.int64())],
+            names=[id_col, "sig", "n_shingles"])
+
+    return fn
+
+
+def sig_matrix(table: pa.Table, sig_col: str = "sig") -> np.ndarray:
+    """Zero-copy-ish (n, k) int64 view of a FixedSizeList signature column."""
+    col = table[sig_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    k = col.type.list_size
+    return np.asarray(col.values, dtype=np.int64).reshape(-1, k)
+
+
+def make_band_rows(id_col: str, bands: int, rows_per_band: int,
+                   seed: int = DEFAULT_SEED):
+    """Returns a map_batches fn: signature table → (band_key, id) rows.
+
+    band_key = XXH64 over the band's r signature values (8r bytes),
+    seeded per band, so one uint64 column encodes (band, bucket).
+    Rows with empty signatures (sig[0] == -1) emit nothing.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = sig_matrix(batch)
+        nonempty = sigs[:, 0] != -1
+        sigs = sigs[nonempty]
+        ids = batch[id_col].filter(pa.array(nonempty))
+        n = len(sigs)
+        keys = np.empty((bands, n), dtype=np.uint64)
+        for b in range(bands):
+            band = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            keys[b] = xxh64_fixed(
+                np.ascontiguousarray(band).view(np.uint8).reshape(n, -1),
+                seed + 1000003 * (b + 1))
+        id_rep = pa.chunked_array([ids] * bands) if bands > 1 else ids
+        return pa.Table.from_arrays(
+            [pa.array(keys.ravel().astype(np.int64)),
+             id_rep.combine_chunks() if isinstance(id_rep, pa.ChunkedArray) else id_rep],
+            names=["band_key", id_col])
+
+    return fn
+
+
+def make_pair_emitter(id_col: str, max_bucket: int = 128):
+    """Returns a whole-block map_batches fn over hash-partitioned band
+    rows: groups by band_key (vectorized np.unique within the block)
+    and emits candidate pairs (a < b).
+
+    Buckets with 2..max_bucket members emit all pairs; larger buckets
+    emit a star from the minimum id plus a sorted chain (2(s-1) edges,
+    reported in the ``capped`` column of the stats row) — their members
+    stay mutually reachable for connected components.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keys = np.asarray(batch["band_key"].to_numpy(zero_copy_only=False))
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        bounds = np.flatnonzero(np.diff(keys_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(keys_s)]))
+        ids_np = ids.to_numpy(zero_copy_only=False)[order]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            size = e - s
+            if size < 2:
+                continue
+            members = np.sort(ids_np[s:e])
+            if size <= max_bucket:
+                iu, ju = np.triu_indices(size, k=1)
+                a_parts.append(members[iu])
+                b_parts.append(members[ju])
+            else:
+                # capped: star from min + chain keeps the bucket connected
+                a_parts.append(np.concatenate([np.repeat(members[0], size - 1),
+                                               members[:-1]]))
+                b_parts.append(np.concatenate([members[1:], members[1:]]))
+        if not a_parts:
+            return pa.Table.from_arrays(
+                [pa.array([], type=ids.type), pa.array([], type=ids.type)],
+                names=["a", "b"])
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        return pa.Table.from_arrays([pa.array(a), pa.array(b)], names=["a", "b"])
+
+    return fn
+
+
+def dedupe_pairs_block(batch: pa.Table) -> pa.Table:
+    """Whole-block pair dedupe (same (a,b) always hash-partitions to the
+    same block, so block-local dedupe is global); keeps the multiplicity
+    as n_bands."""
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return batch.append_column("n_bands", pa.array([], type=pa.int64()))
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new = np.ones(len(a_s), dtype=bool)
+    new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    idx = np.flatnonzero(new)
+    counts = np.diff(np.concatenate((idx, [len(a_s)])))
+    return pa.Table.from_arrays(
+        [pa.array(a_s[idx]), pa.array(b_s[idx]), pa.array(counts.astype(np.int64))],
+        names=["a", "b", "n_bands"])
+
+
+_WORKER_CACHE: dict = {}
+
+
+def _cached_broadcast(sig_ref):
+    """Worker-process-local cache of the broadcast signature lookup —
+    fetched once per worker (plasma shared memory), reused across tasks."""
+    key = sig_ref.hex() if hasattr(sig_ref, "hex") else id(sig_ref)
+    hit = _WORKER_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        ids, sigs = ray.get(sig_ref)
+        hit = ({i: j for j, i in enumerate(ids)}, sigs)
+        _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = hit
+    return hit
+
+
+def make_broadcast_verifier(sig_ref, threshold: float):
+    """Pair verification against a broadcast signature lookup
+    (``ray.put`` once on the driver; each worker fetches it once).
+
+    The small-side fast path: valid while the signature table fits in
+    the object store. The scale path is the two-sided hash join in
+    ``pipelines.dedup.verify_pairs_join``.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        index, sigs = _cached_broadcast(sig_ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        ia = np.array([index[x] for x in a], dtype=np.int64)
+        ib = np.array([index[x] for x in b], dtype=np.int64)
+        sim = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = sim >= threshold
+        out = batch.filter(pa.array(keep))
+        return out.append_column("sim", pa.array(sim[keep]))
+
+    return fn
+
+
+def verify_block(batch: pa.Table, threshold: float) -> pa.Table:
+    """Verify pairs when both sides' signatures are already columns
+    (post-join layout: sig_a, sig_b)."""
+    sa = sig_matrix(batch, "sig_a")
+    sb = sig_matrix(batch, "sig_b")
+    sim = (sa == sb).mean(axis=1)
+    keep = sim >= threshold
+    out = batch.select(["a", "b", "n_bands"]).filter(pa.array(keep))
+    return out.append_column("sim", pa.array(sim[keep]))
+
+
+class UnionFind:
+    """Driver-side union-find with deterministic min-id labels.
+
+    Scale note: holds one entry per id that appears in a verified edge
+    — the duplicate set, typically orders of magnitude smaller than the
+    corpus. For edge sets too large for one driver, swap in the
+    large-star/small-star groupby rounds (documented in SURVEY §2.7).
+    """
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            return x
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:  # path compression
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, x, y):
+        rx, ry = self.find(x), self.find(y)
+        if rx == ry:
+            return
+        # deterministic: smaller id becomes the root
+        if ry < rx:
+            rx, ry = ry, rx
+        self.parent[ry] = rx
+
+    def components(self) -> dict:
+        """id → min-id-of-component for every seen id."""
+        return {x: self.find(x) for x in list(self.parent)}

@@ -1,0 +1,185 @@
+"""Distributed sketch construction as Ray Data aggregations.
+
+Each sketch with a mergeable partial (SURVEY.md §2.4/§4.1 — CMS
+``merge`` = elementwise +, HLL ``merge`` = register max, Bloom-family
+bit arrays = bitwise OR) becomes an ``AggregateFnV2``: per-block
+vectorized build (``aggregate_block``), tree ``combine`` inside Ray
+Data's aggregate operator, tiny final artifact on the driver. This is
+the canonical partial/final pattern — no shuffle of row data, only
+fixed-size sketch partials move.
+
+Usage::
+
+    cms = ds.aggregate(CMSAgg(on="caption", error_rate=1e-4))["cms"]
+    est = cms.count("some caption")
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import DEFAULT_SEED
+from ..state.bloom import BloomFilter
+from ..state.cms import CountMinSketch
+from ..state.hyperloglog import HyperLogLog
+
+try:  # Ray is optional at import time (pure-library use)
+    from ray.data.aggregate import AggregateFnV2
+except ImportError:  # pragma: no cover
+    AggregateFnV2 = object  # type: ignore
+
+
+def _column(block, name: str) -> pa.Array:
+    """Extract *name* from an Arrow or pandas block as a pyarrow Array."""
+    if isinstance(block, pa.Table):
+        col = block[name]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.array(block[name])
+
+
+class CMSAgg(AggregateFnV2):
+    """Count-Min Sketch of a string column (reference merge semantics:
+    count-min-sketch.ts:168-183). Finalized value: a CountMinSketch."""
+
+    def __init__(self, on: str, error_rate: float = 1e-4,
+                 accuracy: float = 0.999, seed: int = DEFAULT_SEED,
+                 name: str = "cms"):
+        self._on = on
+        self._error_rate = error_rate
+        self._accuracy = accuracy
+        self._seed = seed
+        super().__init__(name, lambda: None, on=on, ignore_nulls=True)
+
+    def _new(self) -> CountMinSketch:
+        return CountMinSketch.create(self._error_rate, self._accuracy, self._seed)
+
+    def aggregate_block(self, block):
+        sk = self._new()
+        sk.update_many(_column(block, self._on))
+        return sk
+
+    def combine(self, cur, new):
+        if cur is None:
+            return new
+        if new is None:
+            return cur
+        cur.merge(new)
+        return cur
+
+    def finalize(self, acc):
+        return pickle.dumps(acc if acc is not None else self._new())
+
+
+class HLLAgg(AggregateFnV2):
+    """HyperLogLog of a string column (register max merge,
+    hyperloglog.ts:175-189). Finalized value: a HyperLogLog."""
+
+    def __init__(self, on: str, nb_registers: int = 4096,
+                 seed: int = DEFAULT_SEED, name: str = "hll"):
+        self._on = on
+        self._m = nb_registers
+        self._seed = seed
+        super().__init__(name, lambda: None, on=on, ignore_nulls=True)
+
+    def _new(self) -> HyperLogLog:
+        return HyperLogLog(self._m, self._seed)
+
+    def aggregate_block(self, block):
+        sk = self._new()
+        sk.update_many(_column(block, self._on))
+        return sk
+
+    def combine(self, cur, new):
+        if cur is None:
+            return new
+        if new is None:
+            return cur
+        return cur.merge(new)  # HLL.merge returns a new merged sketch
+
+    def finalize(self, acc):
+        return pickle.dumps(acc if acc is not None else self._new())
+
+
+class BloomAgg(AggregateFnV2):
+    """Fixed-config Bloom filter of a string column, built by per-block
+    add + bitwise-OR combine (valid because bit positions depend only on
+    the element and the shared (size, k, seed) — bloom-filter.ts:113-123).
+
+    Pass explicit (size, nb_hashes) or (capacity, error_rate) to derive
+    them; the config must be identical across all partials, so it is
+    fixed up front, *not* from per-block counts.
+    """
+
+    def __init__(self, on: str, capacity: int, error_rate: float = 0.01,
+                 seed: int = DEFAULT_SEED, name: str = "bloom"):
+        self._on = on
+        self._capacity = capacity
+        self._error_rate = error_rate
+        self._seed = seed
+        super().__init__(name, lambda: None, on=on, ignore_nulls=True)
+
+    def _new(self) -> BloomFilter:
+        return BloomFilter.create(self._capacity, self._error_rate, self._seed)
+
+    def aggregate_block(self, block):
+        f = self._new()
+        f.add_many(_column(block, self._on))
+        return f
+
+    def combine(self, cur, new):
+        if cur is None:
+            return new
+        if new is None:
+            return cur
+        cur.union_inplace(new)
+        return cur
+
+    def finalize(self, acc):
+        return pickle.dumps(acc if acc is not None else self._new())
+
+
+def build_bloom(ds, on: str, capacity: int, error_rate: float = 0.01,
+                seed: int = DEFAULT_SEED) -> BloomFilter:
+    return pickle.loads(ds.aggregate(BloomAgg(
+        on=on, capacity=capacity, error_rate=error_rate, seed=seed))["bloom"])
+
+
+def build_cms(ds, on: str, error_rate: float = 1e-4, accuracy: float = 0.999,
+              seed: int = DEFAULT_SEED) -> CountMinSketch:
+    return pickle.loads(ds.aggregate(CMSAgg(
+        on=on, error_rate=error_rate, accuracy=accuracy, seed=seed))["cms"])
+
+
+def build_hll(ds, on: str, nb_registers: int = 4096,
+              seed: int = DEFAULT_SEED) -> HyperLogLog:
+    return pickle.loads(ds.aggregate(HLLAgg(
+        on=on, nb_registers=nb_registers, seed=seed))["hll"])
+
+
+def make_bloom_probe_fn(filter_ref, on: str, out_col: str = "present"):
+    """map_batches fn probing a broadcast BloomFilter (``ray.put`` once;
+    fetched zero-copy-ish per worker): adds a boolean *out_col*."""
+    def fn(batch: pa.Table) -> pa.Table:
+        f = _plain_fetch(filter_ref)
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column(out_col, pa.array(f.has_many(col)))
+
+    return fn
+
+
+_REF_CACHE: dict = {}
+
+
+def _plain_fetch(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _REF_CACHE:
+        import ray
+
+        _REF_CACHE.clear()
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]

@@ -147,7 +147,11 @@ class MinHashFactory:
         matrix; empty rows get sentinel -1 (the reference raises on
         comparing empties; engine stages filter them out).
 
-        Memory-bounded: processes whole rows in chunks of ~2^18 values.
+        Memory-bounded and allocation-free in the hot loop: a
+        preallocated (chunk, k) buffer is reused across chunks with
+        in-place ufuncs — large fresh numpy temporaries are first-touch
+        page-fault bound on some kernels, so the buffer reuse is
+        load-bearing for throughput, not just neatness.
         """
         n = len(offsets) - 1
         k = self._nb_hashes
@@ -157,7 +161,8 @@ class MinHashFactory:
         out = np.full((n, k), -1, dtype=np.int64)
         flat_values = np.asarray(flat_values, dtype=np.int64)
         offsets = np.asarray(offsets, dtype=np.int64)
-        chunk_target = 1 << 18
+        chunk_target = 1 << 14
+        buf = np.empty((chunk_target, k), dtype=np.int64)
         row = 0
         while row < n:
             end_row = row
@@ -168,7 +173,13 @@ class MinHashFactory:
             lo, hi = offsets[row], offsets[end_row]
             vals = flat_values[lo:hi]
             if len(vals):
-                hv = (vals[:, None] * a + b) % c  # (chunk, k)
+                if len(vals) <= chunk_target:
+                    hv = buf[: len(vals)]
+                    np.multiply(vals[:, None], a, out=hv)
+                else:  # single row larger than the buffer
+                    hv = vals[:, None] * a
+                np.add(hv, b, out=hv)
+                np.remainder(hv, c, out=hv)
                 starts = (offsets[row:end_row] - lo)
                 lens = np.diff(offsets[row : end_row + 1])
                 nonempty = lens > 0

@@ -1,0 +1,41 @@
+"""Shared Ray Data context helpers."""
+
+from __future__ import annotations
+
+import os
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """CPU count of the connected Ray cluster (or *default* if Ray is
+    not initialised yet)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:  # noqa: BLE001
+        pass
+    return int(os.environ.get("RAY_GRAFT_CPUS", default))
+
+
+def ensure_hash_shuffle():
+    """Switch the global DataContext to the hash-shuffle strategy
+    (required for key-based ``repartition(keys=...)``; also the
+    scale-friendly strategy for our groupbys) and size its default
+    parallelism to the cluster instead of the 200-partition default —
+    200 aggregator actors on an 8-CPU local node costs ~60s of actor
+    startup per shuffle; on a real multi-node cluster the partition
+    count should instead be set per-stage via ``num_partitions``.
+
+    Must run before the datasets of a pipeline are *created* — each
+    Dataset snapshots the context. Idempotent; never touches ray.init.
+    """
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    cpus = cluster_cpus()
+    ctx.default_hash_shuffle_parallelism = min(
+        ctx.default_hash_shuffle_parallelism, max(cpus, 2))
+    ctx.max_hash_shuffle_aggregators = min(ctx.max_hash_shuffle_aggregators,
+                                           max(cpus // 2, 2))
