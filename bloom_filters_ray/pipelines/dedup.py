@@ -83,24 +83,9 @@ def _add_caption_hash(cfg: DedupConfig):
 
 
 def _exact_rep_block(cfg: DedupConfig):
-    """Whole-block (post hash-partition) exact-dup resolution:
-    representative = min id per caption_hash group."""
+    from ..stages.neardup import make_rep_block
 
-    def fn(batch: pa.Table) -> pa.Table:
-        h = batch["caption_hash"].to_numpy(zero_copy_only=False)
-        ids = batch[cfg.id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))
-        hs = h[order]
-        first = np.ones(len(hs), dtype=bool)
-        first[1:] = hs[1:] != hs[:-1]
-        group_of = np.cumsum(first) - 1
-        rep_sorted = ids[order][np.flatnonzero(first)][group_of]
-        rep = np.empty_like(rep_sorted)
-        rep[order] = rep_sorted
-        out = batch.append_column("rep_id", pa.array(rep))
-        return out.append_column("is_rep", pa.array(rep == ids))
-
-    return fn
+    return make_rep_block(cfg.id_col, "caption_hash")
 
 
 def exact_tier(ds, cfg: DedupConfig):

@@ -133,6 +133,50 @@ ORACLES: dict[str, str] = {
         WITH {CORPUS_SQL}
         SELECT image_id, TRUE AS present FROM corpus
     """,
+    "ngram_jaccard": """
+        WITH pairs AS (
+            SELECT doc_id, trim(text) AS a,
+                   regexp_replace(trim(text), ' [^ ]*$', '') AS b
+            FROM documents
+        ),
+        ta AS (SELECT DISTINCT doc_id,
+                      unnest(regexp_split_to_array(lower(a), ' +')) AS tok
+               FROM pairs),
+        tb AS (SELECT DISTINCT doc_id,
+                      unnest(regexp_split_to_array(lower(b), ' +')) AS tok
+               FROM pairs),
+        na AS (SELECT doc_id, count(*) AS n FROM ta GROUP BY doc_id),
+        nu AS (SELECT doc_id, count(*) AS n
+               FROM (SELECT doc_id, tok FROM ta UNION
+                     SELECT doc_id, tok FROM tb) GROUP BY doc_id),
+        nb AS (SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id)
+        SELECT na.doc_id,
+               CAST(na.n + nb.n - nu.n AS DOUBLE) / nu.n AS jaccard
+        FROM na JOIN nb USING (doc_id) JOIN nu USING (doc_id)
+    """,
+    "substring_dups": f"""
+        WITH {CORPUS_SQL},
+        uniq AS (SELECT caption, min(image_id) AS image_id
+                 FROM corpus GROUP BY caption)
+        SELECT a.image_id,
+               EXISTS (SELECT 1 FROM uniq b
+                       WHERE b.caption <> a.caption
+                         AND contains(b.caption, a.caption)) AS contained
+        FROM uniq a
+    """,
+    "ann_topk": """
+        SELECT qid AS query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.embedding, e.embedding) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    """,
 }
 
 
@@ -192,6 +236,134 @@ def q_fingerprints(sf_dir: str):
     return ds.map_batches(make_fingerprint_fn(), batch_format="pyarrow")
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact token-set Jaccard of each planted near-dup pair (variant 0
+    caption vs variant 2 caption per doc) — the deterministic oracle
+    twin of the MinHash estimate. Fully vectorized: per-row distinct
+    token hashes, union via concat+dedupe."""
+    import pyarrow.compute as pc
+
+    from ..stages.shingle import shingle_hashes, unique_per_row
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        cap_a = pc.utf8_trim_whitespace(texts)
+        cap_b = pc.replace_substring_regex(cap_a, pattern=" [^ ]*$",
+                                           replacement="")
+        fa, oa = unique_per_row(*shingle_hashes(cap_a, k=1))
+        fb, ob = unique_per_row(*shingle_hashes(cap_b, k=1))
+        na, nb = np.diff(oa), np.diff(ob)
+        # union per row = distinct of the concatenation
+        n = len(na)
+        cat = np.empty(oa[-1] + ob[-1], dtype=np.uint64)
+        oc = np.zeros(n + 1, dtype=np.int64)
+        oc[1:] = np.cumsum(na + nb)
+        for i in range(n):  # cheap row loop over slice copies only
+            cat[oc[i] : oc[i] + na[i]] = fa[oa[i] : oa[i + 1]]
+            cat[oc[i] + na[i] : oc[i + 1]] = fb[ob[i] : ob[i + 1]]
+        _, ou = unique_per_row(cat, oc)
+        u = np.diff(ou)
+        inter = na + nb - u
+        jac = np.where(u > 0, inter / np.maximum(u, 1), 1.0)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(jac)],
+            names=["doc_id", "jaccard"])
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def q_topk_sketch(sf_dir: str):
+    """Distributed reference-semantics TopK (CMS estimates + candidate
+    heap): top 10 caption frequencies."""
+    from ..stages.sketch_aggs import build_topk
+
+    ds = _caption_corpus(sf_dir).select_columns(["caption"])
+    top = build_topk(ds, on="caption", k=10)
+    return pa.table({
+        "value": pa.array([t["value"] for t in top], type=pa.string()),
+        "frequency": pa.array([t["frequency"] for t in top], type=pa.int64()),
+        "rank": pa.array([t["rank"] for t in top], type=pa.int64()),
+    })
+
+
+def q_seenset_mark(sf_dir: str):
+    """Streaming seen-set pruning: sharded ScalableBloom actors mark
+    the first arrival of each caption (is_new). Winner identity is
+    arrival-order dependent (rows-only check); invariants are tested
+    in tests/test_stateful.py."""
+    from ..stages.seenset import SeenSet
+
+    ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
+    ss = SeenSet(num_shards=4, kind="scalable", capacity=1 << 14)
+    try:
+        out = ss.mark_new(ds, "caption").materialize()
+    finally:
+        pass
+    res = pa.concat_tables([b for b in out.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")])
+    ss.shutdown()
+    return res
+
+
+def q_substring_dups(sf_dir: str):
+    """Exact-substring dedup (suffix-array pass) over unique captions:
+    contained=True iff the caption occurs inside another unique
+    caption. Single-partition scope (oracle scale); at cluster scale
+    partition by content-locality keys (stages/substring.py)."""
+    from .dedup import exact_tier
+
+    cfg = DedupConfig()
+    ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
+        ["image_id", "caption"])
+    uniq = exact_tier(ds, cfg).filter(expr="is_rep == True")         .select_columns(["image_id", "caption"])
+    from ..stages.substring import make_substring_flag_fn
+
+    return uniq.repartition(1).map_batches(
+        make_substring_flag_fn(), batch_format="pyarrow", batch_size=None)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 of the first 5 embedding rows against
+    the whole embeddings table (block-local top-k + driver merge)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    from ..stages.ann import brute_force_topk, embedding_matrix
+
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+    return brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=10)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup clustering over the planted-near-dup
+    embedding corpus (projection-LSH bands + exact cosine verify)."""
+    from ..sources.synthetic import embedding_corpus
+    from .embdedup import EmbDedupConfig, embedding_dedup_pipeline
+
+    ds = embedding_corpus(sf_dir)
+    assignments, _ = embedding_dedup_pipeline(ds, EmbDedupConfig())
+    return assignments
+
+
+def q_image_neardup(sf_dir: str):
+    """Image-tier near-dup clustering: exact byte dedup + phash Hamming
+    banding + verification."""
+    from ..sources.synthetic import corpus_dataset
+    from .imagededup import ImageDedupConfig, image_dedup_pipeline
+
+    ds = corpus_dataset(sf_dir, with_bytes=True).select_columns(
+        ["image_id", "bytes", "phash"])
+    assignments, _ = image_dedup_pipeline(ds, ImageDedupConfig())
+    return assignments
+
+
 QUERIES = {
     "corpus": q_corpus,
     "exact_dedup": q_exact_dedup,
@@ -206,4 +378,11 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
+    "ngram_jaccard": q_ngram_jaccard,
+    "topk_sketch": q_topk_sketch,
+    "seenset_mark": q_seenset_mark,
+    "substring_dups": q_substring_dups,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "image_neardup": q_image_neardup,
 }

@@ -198,3 +198,75 @@ corpus AS (
     FROM documents, (SELECT unnest([0, 1, 2]) AS variant) v
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding corpus with planted near-duplicates
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = pa.schema([
+    ("emb_id", pa.int64()),
+    ("vec_id", pa.int64()),
+    ("variant", pa.int32()),
+    ("embedding", pa.list_(pa.float32())),
+    ("label", pa.int32()),
+])
+
+
+def _unit_noise(vec_ids: np.ndarray, dim: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic per-row unit noise vectors: an XXH64 counter
+    keystream mapped to floats in [-1, 1), vectorized across the whole
+    batch (content-derived — invariant to partitioning)."""
+    ctr = (vec_ids.astype(np.uint64)[:, None] * np.uint64(dim)
+           + np.arange(dim, dtype=np.uint64)[None, :])
+    u = xxh64_u64(ctr.ravel(), seed).reshape(len(vec_ids), dim)
+    f = (u >> np.uint64(11)).astype(np.float64) * (2.0 ** -53) * 2.0 - 1.0
+    n = np.linalg.norm(f, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return f / n
+
+
+def make_embedding_variants(batch: pa.Table, eps: float = 0.1) -> pa.Table:
+    """Expand (vec_id, embedding, label) into 2 variants per vector:
+    variant 0 = original, variant 1 = planted near-duplicate
+    ``v + eps*||v||*unit_noise`` (cosine ≈ 1/sqrt(1+eps^2) ≈ 0.995 at
+    eps=0.1). ``emb_id = vec_id*2 + variant``."""
+    from ..stages.ann import embedding_matrix
+
+    vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int32)
+    E = embedding_matrix(batch["embedding"])
+    n, d = E.shape
+    noise = _unit_noise(vec_ids, d)
+    E2 = E + eps * np.linalg.norm(E, axis=1, keepdims=True) * noise
+    # interleave (v0, v1) per input row
+    out = np.empty((2 * n, d), dtype=np.float64)
+    out[0::2] = E
+    out[1::2] = E2
+    emb_ids = np.empty(2 * n, dtype=np.int64)
+    emb_ids[0::2] = vec_ids * 2
+    emb_ids[1::2] = vec_ids * 2 + 1
+    flat = pa.array(out.ravel().astype(np.float32))
+    emb_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(2 * n + 1, dtype=np.int32) * d), flat)
+    return pa.Table.from_arrays(
+        [pa.array(emb_ids), pa.array(np.repeat(vec_ids, 2)),
+         pa.array(np.tile(np.array([0, 1], dtype=np.int32), n)),
+         emb_col, pa.array(np.repeat(labels, 2))],
+        schema=EMB_SCHEMA)
+
+
+def embedding_corpus(sf_dir: str, eps: float = 0.1,
+                     parallelism: int | None = None):
+    """Lazy Ray Dataset of the planted-near-dup embedding corpus."""
+    import ray.data
+
+    from ..util import cluster_cpus, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    if parallelism is None:
+        parallelism = max(2, 2 * cluster_cpus())
+    ds = ds.repartition(parallelism)
+    return ds.map_batches(lambda b: make_embedding_variants(b, eps),
+                          batch_format="pyarrow", batch_size=512)

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and LSH-bucketed candidate generation (scale path).
+
+- ``brute_force_topk``: the exact baseline — broadcast the (small)
+  query matrix once (``ray.put``), each block computes a vectorized
+  (block × queries) cosine matrix and emits only its block-local top-k
+  rows per query (k·q rows per block, never the full similarity
+  matrix); the driver merges the tiny partials. numpy matmul per batch
+  against the broadcast query matrix.
+- ``make_projection_code_fn``: signed-random-projection LSH (Charikar
+  hyperplane SimHash) mapping each embedding to a 64-bit code whose
+  Hamming distance approximates angular distance; the code column
+  feeds the same Hamming banding machinery as phash
+  (stages/simhash.py), giving the embedding-cosine near-dup tier:
+  code bands → band-bucket shuffle → candidate pairs → exact cosine
+  verification against a broadcast (id, normalized-vector) lookup.
+
+At 10^12-row scale the verification broadcast becomes a hash join of
+pair rows against the embedding table (same switch as
+pipelines/dedup.verify_pairs_join); band rows carry only
+(band_key, id) either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import DEFAULT_SEED
+from .neardup import _cached_broadcast
+
+
+def embedding_matrix(col, dim: int | None = None) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column, zero-copy
+    from the flat values buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = np.asarray(col.values)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    if dim is None:
+        dim = int(lens[0]) if len(lens) else 0
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    start = offs[0]
+    return vals[start : start + len(lens) * dim].astype(np.float64) \
+        .reshape(len(lens), dim)
+
+
+def normalize_rows(E: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(E, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return E / n
+
+
+def make_block_topk_fn(query_ref, k: int, id_col: str = "vec_id",
+                       emb_col: str = "embedding", exclude_self: bool = True):
+    """map_batches fn emitting each block's top-k neighbors per query:
+    (query_id, neighbor_id, sim) rows, k·n_queries per block max."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q_ids, Q = _cached_broadcast(query_ref)  # Q: (q, d) normalized
+        q_id_arr = np.asarray(list(q_ids), dtype=np.int64)
+        E = normalize_rows(embedding_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = E @ Q.T  # (b, q)
+        if exclude_self:
+            sims[ids[:, None] == q_id_arr[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        # block-local top-k rows per query column
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        out_q = np.repeat(q_id_arr, kk)
+        out_n = ids[part.T.ravel()]
+        out_s = np.take_along_axis(sims, part, axis=0).T.ravel()
+        keep = np.isfinite(out_s)
+        return pa.Table.from_arrays(
+            [pa.array(out_q[keep]), pa.array(out_n[keep]),
+             pa.array(out_s[keep])],
+            names=["query_id", "neighbor_id", "sim"])
+
+    return fn
+
+
+def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     exclude_self: bool = True) -> pa.Table:
+    """Exact cosine top-k of each query row against every dataset row.
+    Returns (query_id, neighbor_id, rank) sorted, rank 1..k, ties
+    broken by neighbor_id (deterministic)."""
+    import ray
+
+    ref = ray.put((list(np.asarray(query_ids, dtype=np.int64)),
+                   normalize_rows(np.asarray(Q, dtype=np.float64))))
+    partials = ds.map_batches(
+        make_block_topk_fn(ref, k, id_col, emb_col, exclude_self),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables([b for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")])
+    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    si = tbl["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ni, -si, qi))
+    qi, ni, si = qi[order], ni[order], si[order]
+    # rank within query, keep top k
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(len(qi)), 0))
+    rank = np.arange(len(qi)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qi[keep]),
+        "neighbor_id": pa.array(ni[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
+
+
+def make_projection_code_fn(dim: int, id_col: str = "vec_id",
+                            emb_col: str = "embedding", n_bits: int = 64,
+                            seed: int = DEFAULT_SEED):
+    """map_batches fn: embedding → 64-bit signed-random-projection code
+    (column ``simcode`` int64). The (dim, n_bits) Gaussian hyperplane
+    matrix is derived deterministically from the seed, so every worker
+    builds the identical projection."""
+    assert n_bits <= 64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        H = _hyperplanes(dim, n_bits, seed)
+        E = embedding_matrix(batch[emb_col], dim)
+        bits = (E @ H) > 0  # (n, n_bits)
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        codes = (bits.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pa.Table.from_arrays(
+            [batch[id_col], pa.array(codes.astype(np.int64))],
+            names=[id_col, "simcode"])
+
+    return fn
+
+
+_PLANES: dict = {}
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    key = (dim, n_bits, seed)
+    if key not in _PLANES:
+        rng = np.random.default_rng(seed & ((1 << 63) - 1))
+        _PLANES[key] = rng.standard_normal((dim, n_bits))
+    return _PLANES[key]
+
+
+def make_cosine_verifier(emb_ref, threshold: float, id_col: str = "vec_id"):
+    """map_batches fn over candidate (a, b) pairs: keep pairs with
+    exact cosine >= threshold, via broadcast (ids, normalized matrix)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        index, En = _cached_broadcast(emb_ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        ia = np.array([index[x] for x in a], dtype=np.int64)
+        ib = np.array([index[x] for x in b], dtype=np.int64)
+        sim = np.einsum("ij,ij->i", En[ia], En[ib])
+        keep = sim >= threshold
+        out = batch.filter(pa.array(keep))
+        return out.append_column("sim", pa.array(sim[keep]))
+
+    return fn

@@ -221,6 +221,28 @@ def verify_block(batch: pa.Table, threshold: float) -> pa.Table:
     return out.append_column("sim", pa.array(sim[keep]))
 
 
+def make_rep_block(id_col: str, hash_col: str):
+    """Whole-block (post hash-partition) exact-dup resolution:
+    representative = min id per *hash_col* group. Valid globally because
+    the keyed repartition co-locates equal hashes in one block."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        group_of = np.cumsum(first) - 1
+        rep_sorted = ids[order][np.flatnonzero(first)][group_of]
+        rep = np.empty_like(rep_sorted)
+        rep[order] = rep_sorted
+        out = batch.append_column("rep_id", pa.array(rep))
+        return out.append_column("is_rep", pa.array(rep == ids))
+
+    return fn
+
+
 class UnionFind:
     """Driver-side union-find with deterministic min-id labels.
 

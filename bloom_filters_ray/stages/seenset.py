@@ -1,0 +1,189 @@
+"""Seen-set pruning: sharded stateful membership filters for
+streaming/incremental dedup (north_star: "scalable/partitioned Bloom
+filters for seen-set pruning").
+
+Why raw actors (the documented exception, SURVEY.md §4.3): a seen-set
+is a SHARED MUTABLE index — rows arriving in any batch, on any worker,
+must observe insertions made by earlier batches. Ray Data's map tasks
+are stateless and its actor pools don't pin partitions to actors, so
+the index lives in P ``ShardActor``s, each owning the keys with
+``xxh64(key) % P == shard`` (disjoint ownership is what makes the
+NON-mergeable ScalableBloomFilter cascade safe to use —
+scalable-bloom-filter.ts filter lists diverge and cannot be OR-merged,
+SURVEY.md §2.2).
+
+The ``mark_new`` map stage routes each batch's keys to their shards
+(one ``check_and_add`` round-trip per (batch, shard) — vectorized
+inside the actor, serialized per shard, so each key has exactly one
+"first" arrival). False-positive rate ε of the filter translates to
+dropping a genuinely-new key with probability ≤ ε — the standard
+seen-set trade.
+
+Shard state checkpoints via ``save_as_json`` (reference JSON layout)
+and restores with ``load``, so a resumed job continues the same
+seen-set (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import DEFAULT_SEED
+from ..state.counting_bloom import CountingBloomFilter
+from ..state.cuckoo import CuckooFilter
+from ..state.scalable_bloom import ScalableBloomFilter
+
+_KINDS = ("scalable", "cuckoo", "counting")
+
+
+def _new_filter(kind: str, capacity: int, error_rate: float, seed: int):
+    if kind == "scalable":
+        return ScalableBloomFilter(initial_size=max(capacity // 16, 128),
+                                   initial_error_rate=error_rate, seed=seed)
+    if kind == "cuckoo":
+        return CuckooFilter.create(capacity, error_rate, seed=seed)
+    if kind == "counting":
+        return CountingBloomFilter.create(capacity, error_rate, seed=seed)
+    raise ValueError(f"unknown seen-set kind {kind!r}; one of {_KINDS}")
+
+
+class _Shard:
+    """One shard's filter + vectorized check-and-add (plain object;
+    wrapped in a Ray actor by SeenSet)."""
+
+    def __init__(self, kind: str, capacity: int, error_rate: float,
+                 seed: int):
+        self._kind = kind
+        self._filter = _new_filter(kind, capacity, error_rate, seed)
+        self._n_added = 0
+
+    def check_and_add(self, keys: list[bytes]) -> np.ndarray:
+        """For each key IN ORDER: True if new (and insert), False if
+        already present. In-batch duplicates: only the first is new."""
+        f = self._filter
+        if hasattr(f, "has_many") and hasattr(f, "add_many"):
+            # vectorized: probe all, then insert first occurrences of
+            # the absent keys (order-equivalent to the scalar loop)
+            present = np.asarray(f.has_many(keys), dtype=bool)
+            _, first_idx = np.unique(np.array(keys, dtype=object),
+                                     return_index=True)
+            first = np.zeros(len(keys), dtype=bool)
+            first[first_idx] = True
+            is_new = (~present) & first
+            if is_new.any():
+                f.add_many([k for k, m in zip(keys, is_new) if m])
+            self._n_added += int(is_new.sum())
+            return is_new
+        out = np.zeros(len(keys), dtype=bool)
+        for i, k in enumerate(keys):  # cuckoo: kicks are stateful
+            if not f.has(k):
+                f.add(k)
+                out[i] = True
+                self._n_added += 1
+        return out
+
+    def remove(self, keys: list[bytes]) -> int:
+        if not hasattr(self._filter, "remove"):
+            raise TypeError(f"{self._kind} filters do not support remove")
+        n = 0
+        for k in keys:
+            n += bool(self._filter.remove(k))
+            self._n_added -= 1
+        return n
+
+    def stats(self) -> dict:
+        return {"kind": self._kind, "n_added": self._n_added}
+
+    def save(self) -> dict:
+        return self._filter.save_as_json()
+
+    def load(self, state: dict) -> None:
+        cls = type(self._filter)
+        self._filter = cls.from_json(state)
+
+
+class SeenSet:
+    """P filter shards as Ray actors, keyed by ``xxh64(key) % P``.
+
+    ``mark_new(ds, key_col)`` appends a boolean ``is_new`` column;
+    ``save()``/``load()`` round-trip all shard states (JSON) for
+    checkpoint/resume.
+    """
+
+    def __init__(self, num_shards: int = 8, kind: str = "scalable",
+                 capacity: int = 1 << 16, error_rate: float = 0.001,
+                 seed: int = DEFAULT_SEED):
+        import ray
+
+        self.num_shards = num_shards
+        self.seed = seed
+        actor = ray.remote(num_cpus=0.25)(_Shard)
+        self._shards = [actor.remote(kind, capacity, error_rate, seed + i)
+                        for i in range(num_shards)]
+
+    def _route(self, keys_arr) -> np.ndarray:
+        from ..hashing import xxh64_arrow
+
+        return (xxh64_arrow(keys_arr, self.seed) % np.uint64(self.num_shards)) \
+            .astype(np.int64)
+
+    def mark_new_fn(self, key_col: str):
+        """map_batches fn (captures the actor handles by value)."""
+        shards = self._shards
+        num = self.num_shards
+        seed = self.seed
+
+        def fn(batch: pa.Table) -> pa.Table:
+            import ray
+
+            from ..hashing import xxh64_arrow
+
+            col = batch[key_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            shard_of = (xxh64_arrow(col, seed) % np.uint64(num)).astype(np.int64)
+            keys = col.to_pylist()
+            refs, idxs = [], []
+            for s in range(num):
+                idx = np.flatnonzero(shard_of == s)
+                if len(idx):
+                    refs.append(shards[s].check_and_add.remote(
+                        [_as_bytes(keys[i]) for i in idx]))
+                    idxs.append(idx)
+            out = np.zeros(len(keys), dtype=bool)
+            for idx, res in zip(idxs, ray.get(refs)):
+                out[idx] = res
+            return batch.append_column("is_new", pa.array(out))
+
+        return fn
+
+    def mark_new(self, ds, key_col: str):
+        return ds.map_batches(self.mark_new_fn(key_col),
+                              batch_format="pyarrow", batch_size=4096)
+
+    def stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([s.stats.remote() for s in self._shards])
+
+    def save(self) -> list[dict]:
+        import ray
+
+        return ray.get([s.save.remote() for s in self._shards])
+
+    def load(self, states: list[dict]) -> None:
+        import ray
+
+        ray.get([s.load.remote(st) for s, st in zip(self._shards, states)])
+
+    def shutdown(self) -> None:
+        import ray
+
+        for s in self._shards:
+            ray.kill(s)
+        self._shards = []
+
+
+def _as_bytes(k) -> bytes:
+    return k.encode("utf-8") if isinstance(k, str) else bytes(k)

@@ -78,14 +78,16 @@ class HLLAgg(AggregateFnV2):
     hyperloglog.ts:175-189). Finalized value: a HyperLogLog."""
 
     def __init__(self, on: str, nb_registers: int = 4096,
-                 seed: int = DEFAULT_SEED, name: str = "hll"):
+                 seed: int = DEFAULT_SEED, mode: str = "standard",
+                 name: str = "hll"):
         self._on = on
         self._m = nb_registers
         self._seed = seed
+        self._mode = mode  # engine default: textbook estimator (see state/hyperloglog.py)
         super().__init__(name, lambda: None, on=on, ignore_nulls=True)
 
     def _new(self) -> HyperLogLog:
-        return HyperLogLog(self._m, self._seed)
+        return HyperLogLog(self._m, self._seed, self._mode)
 
     def aggregate_block(self, block):
         sk = self._new()
@@ -141,6 +143,78 @@ class BloomAgg(AggregateFnV2):
         return pickle.dumps(acc if acc is not None else self._new())
 
 
+class TopKAgg(AggregateFnV2):
+    """Distributed TopK with the reference's CMS+heap semantics
+    (topk.ts:138-262): frequencies are CMS estimates (count >= true),
+    the candidate heavy-hitter set is the union of per-block exact
+    top candidates. Finalized value: list of {value, frequency, rank}
+    descending — pickled, like the other sketch aggregates.
+
+    Exactness note: a key can only miss the final top-k if it failed to
+    reach any block's local candidate cap — keep ``candidates_per_block
+    >> k`` (default 8k) so heavy keys always surface.
+    """
+
+    def __init__(self, on: str, k: int = 10, error_rate: float = 1e-4,
+                 accuracy: float = 0.999, candidates_per_block: int | None = None,
+                 seed: int = DEFAULT_SEED, name: str = "topk"):
+        self._on = on
+        self._k = k
+        self._cand = candidates_per_block or max(8 * k, 64)
+        self._error_rate = error_rate
+        self._accuracy = accuracy
+        self._seed = seed
+        super().__init__(name, lambda: None, on=on, ignore_nulls=True)
+
+    def _new_cms(self) -> CountMinSketch:
+        return CountMinSketch.create(self._error_rate, self._accuracy, self._seed)
+
+    def aggregate_block(self, block):
+        col = _column(block, self._on)
+        cms = self._new_cms()
+        cms.update_many(col)
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(col)
+        vals = vc.field("values").to_pylist()
+        counts = np.asarray(vc.field("counts"))
+        top = np.argsort(-counts, kind="stable")[: self._cand]
+        cand = {vals[i]: int(counts[i]) for i in top}
+        return (cms, cand)
+
+    def combine(self, cur, new):
+        if cur is None:
+            return new
+        if new is None:
+            return cur
+        cms, cand = cur
+        cms2, cand2 = new
+        cms.merge(cms2)
+        for v, c in cand2.items():
+            cand[v] = cand.get(v, 0) + c
+        if len(cand) > 4 * self._cand:  # cap combined candidate set
+            keep = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+            cand = dict(keep[: 2 * self._cand])
+        return (cms, cand)
+
+    def finalize(self, acc):
+        if acc is None:
+            return pickle.dumps([])
+        cms, cand = acc
+        est = [(v, int(cms.count(v))) for v in cand]
+        est.sort(key=lambda kv: (-kv[1], kv[0]))
+        out = [{"value": v, "frequency": f, "rank": i + 1}
+               for i, (v, f) in enumerate(est[: self._k])]
+        return pickle.dumps(out)
+
+
+def build_topk(ds, on: str, k: int = 10, error_rate: float = 1e-4,
+               seed: int = DEFAULT_SEED) -> list[dict]:
+    return pickle.loads(ds.aggregate(TopKAgg(on=on, k=k,
+                                             error_rate=error_rate,
+                                             seed=seed))["topk"])
+
+
 def build_bloom(ds, on: str, capacity: int, error_rate: float = 0.01,
                 seed: int = DEFAULT_SEED) -> BloomFilter:
     return pickle.loads(ds.aggregate(BloomAgg(
@@ -154,9 +228,9 @@ def build_cms(ds, on: str, error_rate: float = 1e-4, accuracy: float = 0.999,
 
 
 def build_hll(ds, on: str, nb_registers: int = 4096,
-              seed: int = DEFAULT_SEED) -> HyperLogLog:
+              seed: int = DEFAULT_SEED, mode: str = "standard") -> HyperLogLog:
     return pickle.loads(ds.aggregate(HLLAgg(
-        on=on, nb_registers=nb_registers, seed=seed))["hll"])
+        on=on, nb_registers=nb_registers, seed=seed, mode=mode))["hll"])
 
 
 def make_bloom_probe_fn(filter_ref, on: str, out_col: str = "present"):

@@ -54,14 +54,26 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
 class HyperLogLog:
     HASH_SIZE = 64
 
-    def __init__(self, nb_registers: int, seed: int = DEFAULT_SEED):
+    def __init__(self, nb_registers: int, seed: int = DEFAULT_SEED,
+                 mode: str = "reference"):
+        """*mode*: "reference" replicates the reference estimator
+        verbatim (0-based rank, ``alpha*m^2*2/Z``, ``V = #(reg==0)``) —
+        accurate at reference load (n >> m) but biased in the sparse
+        regime because rank-0 registers are indistinguishable from
+        empty ones in linear counting. "standard" stores 1-based ranks
+        and uses the textbook Flajolet estimator — use it for engine
+        diagnostics where n may be << m. Sketches merge only within
+        one mode."""
         if nb_registers & (nb_registers - 1) != 0:
             raise ValueError("The number of registers should be a power of 2")
+        if mode not in ("reference", "standard"):
+            raise ValueError(mode)
         self._m = nb_registers
         self._b = math.ceil(math.log2(nb_registers))
         self._correction_bias = _alpha(nb_registers)
         self._registers = np.zeros(nb_registers, dtype=np.int64)
         self._seed = seed
+        self._mode = mode
 
     @property
     def nb_registers(self) -> int:
@@ -73,6 +85,8 @@ class HyperLogLog:
         register_index = x & (self._m - 1)  # low b bits
         top = x >> self._b  # high k bits
         leftmost_pos = k - 1 if top == 0 else k - top.bit_length()
+        if self._mode == "standard":
+            leftmost_pos = min(leftmost_pos + 1, k)  # 1-based rank
         self._registers[register_index] = max(self._registers[register_index], leftmost_pos)
 
     def update_many(self, elements) -> None:
@@ -89,11 +103,14 @@ class HyperLogLog:
         idx = (x & np.uint64(self._m - 1)).astype(np.int64)
         top = x >> np.uint64(self._b)
         lp = np.where(top == 0, k - 1, k - _bit_length_u64(top))
+        if self._mode == "standard":
+            lp = np.minimum(lp + 1, k)  # 1-based rank
         np.maximum.at(self._registers, idx, lp)
 
     def count(self, round_result: bool = False) -> float:
         Z = float(np.sum(np.power(2.0, -self._registers.astype(np.float64))))
-        raw = (self._correction_bias * self._m * self._m * 2) / Z
+        mult = 1 if self._mode == "standard" else 2
+        raw = (self._correction_bias * self._m * self._m * mult) / Z
         if raw <= 2.5 * self._m:
             V = int(np.sum(self._registers == 0))
             est = self._m * math.log(self._m / V) if V > 0 else raw
@@ -109,25 +126,32 @@ class HyperLogLog:
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if self._m != other._m:
             raise ValueError("Two HyperLogLog must have the same number of registers to be merged")
-        out = HyperLogLog(self._m, self._seed)
+        if self._mode != other._mode:
+            raise ValueError("Cannot merge HyperLogLogs with different estimator modes")
+        out = HyperLogLog(self._m, self._seed, self._mode)
         out._registers = np.maximum(self._registers, other._registers)
         return out
 
     def equals(self, other: "HyperLogLog") -> bool:
-        return self._m == other._m and np.array_equal(self._registers, other._registers)
+        return (self._m == other._m and self._mode == other._mode
+                and np.array_equal(self._registers, other._registers))
 
     def save_as_json(self) -> dict:
-        return {
+        out = {
             "_m": self._m,
             "_b": self._b,
             "_correctionBias": self._correction_bias,
             "_registers": self._registers.tolist(),
             "_seed": export_bigint(self._seed),
         }
+        if self._mode != "reference":  # reference JSON layout has no mode
+            out["_mode"] = self._mode
+        return out
 
     @staticmethod
     def from_json(data: dict) -> "HyperLogLog":
-        f = HyperLogLog(data["_m"], import_bigint(data["_seed"]))
+        f = HyperLogLog(data["_m"], import_bigint(data["_seed"]),
+                        data.get("_mode", "reference"))
         f._b = data["_b"]
         f._correction_bias = data["_correctionBias"]
         f._registers = np.asarray(data["_registers"], dtype=np.int64)

@@ -147,6 +147,19 @@ class InvertibleBloomFilter:
             result.append(value)
             copy.remove(value)
 
+    def merge(self, other: "InvertibleBloomFilter") -> None:
+        """Engine extension: cellwise union (idSum XOR, hashSum XOR,
+        count +) — the mergeable-partial form of ``add``, valid because
+        every add only XORs/increments cells (SURVEY.md §2.5: IBLT as a
+        distributed written-id ledger built per block and tree-merged).
+        """
+        if self._size != other._size:
+            raise ValueError("The two Invertible Bloom Filters must be of the same size")
+        self._elements = [
+            Cell(xor_bytes(a._id_sum, b._id_sum), a._hash_sum ^ b._hash_sum,
+                 a._count + b._count)
+            for a, b in zip(self._elements, other._elements)]
+
     def substract(self, other: "InvertibleBloomFilter") -> "InvertibleBloomFilter":
         if self._size != other._size:
             raise ValueError("The two Invertible Bloom Filters must be of the same size")

@@ -1,0 +1,124 @@
+"""SimHash, Hamming banding, ANN and embedding-dedup tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bloom_filters_ray.stages.ann import (embedding_matrix, normalize_rows)
+from bloom_filters_ray.stages.simhash import (hamming64, make_code_band_rows,
+                                              simhash64)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSimHashKernel:
+    def test_simhash_matches_scalar(self):
+        rng = np.random.default_rng(3)
+        flat = rng.integers(0, 2**64, size=50, dtype=np.uint64)
+        offsets = np.array([0, 10, 10, 35, 50], dtype=np.int64)
+        codes = simhash64(flat, offsets)
+        for r in range(4):
+            toks = flat[offsets[r]:offsets[r + 1]]
+            want = 0
+            for j in range(64):
+                s = sum(1 if (int(t) >> j) & 1 else -1 for t in toks)
+                if s > 0:
+                    want |= 1 << j
+            assert int(codes[r]) == want, r
+        assert codes[1] == 0  # empty row
+
+    def test_identical_sets_equal_codes(self):
+        rng = np.random.default_rng(4)
+        toks = rng.integers(0, 2**64, size=30, dtype=np.uint64)
+        flat = np.concatenate([toks, toks[::-1]])
+        offs = np.array([0, 30, 60], dtype=np.int64)
+        codes = simhash64(flat, offs)
+        assert codes[0] == codes[1]  # order-insensitive
+
+    def test_hamming64(self):
+        a = np.array([0, 0xFF, 2**63], dtype=np.uint64)
+        b = np.array([0, 0x0F, 0], dtype=np.uint64)
+        assert list(hamming64(a, b)) == [0, 4, 1]
+
+    def test_band_pigeonhole_recall(self):
+        """Codes within Hamming <= B-1 always share >= 1 band key."""
+        rng = np.random.default_rng(5)
+        n = 300
+        base = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        flips = rng.integers(0, 8, size=n)  # <= 7 < B=8 bands
+        pert = base.copy()
+        for i in range(n):
+            for j in rng.choice(64, size=flips[i], replace=False):
+                pert[i] ^= np.uint64(1) << np.uint64(j)
+        tbl = pa.table({
+            "image_id": [f"x{i}" for i in range(2 * n)],
+            "code": pa.array(np.concatenate([base, pert]).astype(np.int64)),
+        })
+        out = make_code_band_rows("code", "image_id", bits_per_band=8)(tbl)
+        keys = out["band_key"].to_numpy(zero_copy_only=False)
+        ids = out["image_id"].to_pylist()
+        buckets: dict = {}
+        for k, i in zip(keys, ids):
+            buckets.setdefault(k, set()).add(i)
+        for i in range(n):
+            a, b = f"x{i}", f"x{i + n}"
+            assert any(a in s and b in s for s in buckets.values()), i
+
+
+class TestANN:
+    def test_brute_force_topk_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import brute_force_topk
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        E = embedding_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        qt = t.slice(0, 3)
+        Q = embedding_matrix(qt["embedding"])
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+        got = brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=5).to_pandas()
+        En = normalize_rows(E)
+        Qn = normalize_rows(Q)
+        sims = En @ Qn.T
+        for qi in range(3):
+            col = sims[:, qi].copy()
+            col[ids == qi] = -np.inf
+            order = np.lexsort((ids, -col))[:5]
+            want = list(ids[order])
+            g = got[got.query_id == qi].sort_values("rank").neighbor_id.tolist()
+            assert g == want, qi
+
+    def test_embedding_neardup_recall(self, ray_session):
+        from bloom_filters_ray.pipelines.embdedup import (EmbDedupConfig,
+                                                          embedding_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import embedding_corpus
+
+        ds = embedding_corpus(SF)
+        assigns, stats = embedding_dedup_pipeline(ds, EmbDedupConfig())
+        df = assigns.to_pandas()
+        assert len(df) == 1000
+        df["vec"] = df.emb_id // 2
+        same = df.groupby("vec").cluster_id.nunique()
+        recall = (same == 1).mean()  # planted pair clustered together
+        assert recall >= 0.99, recall
+        # no runaway over-merging: components stay pair-sized
+        assert stats["n_components"] >= 450
+
+    def test_embedding_corpus_batch_invariance(self):
+        import pyarrow.parquet as pq
+
+        from bloom_filters_ray.sources.synthetic import make_embedding_variants
+
+        t = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 20)
+        full = make_embedding_variants(t)
+        parts = pa.concat_tables(
+            [make_embedding_variants(t.slice(0, 7)),
+             make_embedding_variants(t.slice(7, 13))])
+        assert full.equals(parts)
+        E = embedding_matrix(full["embedding"])
+        En = normalize_rows(E)
+        cos = np.einsum("ij,ij->i", En[0::2], En[1::2])
+        assert (cos >= 0.98).all()
+        assert (cos <= 0.9999).all()  # genuinely perturbed

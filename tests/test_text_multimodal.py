@@ -1,0 +1,147 @@
+"""Text-analysis, substring-dedup and multimodal stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bloom_filters_ray.stages.multimodal import (DecodeResizeStage,
+                                                 FrameSampleStage,
+                                                 ImageFeatureStage,
+                                                 decode_payload,
+                                                 resize_bilinear,
+                                                 resize_nearest)
+from bloom_filters_ray.stages.substring import (substring_contained_flags,
+                                                suffix_array)
+from bloom_filters_ray.stages.textstats import (LANG_PROFILES,
+                                                make_fingerprint_fn,
+                                                make_langid_fn,
+                                                make_quality_fn,
+                                                make_token_stats_fn)
+
+
+class TestTextStats:
+    def test_token_stats(self):
+        t = pa.table({"image_id": ["a", "b", "c", "d"],
+                      "caption": ["one two three", "", "  x  ", "solo"]})
+        out = make_token_stats_fn()(t).to_pydict()
+        assert out["n_tokens"] == [3, 0, 1, 1]
+        assert out["n_chars"] == [13, 0, 5, 4]
+
+    def test_langid_profiles(self):
+        t = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+            "the cat sat on the mat with all of them",
+            "der hund und die katze sind nicht im haus",
+            "le chat est dans la maison avec les autres",
+            "zzz qqq xxx",
+        ]})
+        out = make_langid_fn()(t).to_pydict()
+        assert out["lang"][:3] == ["en", "de", "fr"]
+        assert out["lang"][3] == "und"
+        assert all(s >= 0 for s in out["lang_score"])
+
+    def test_quality_components(self):
+        t = pa.table({"image_id": ["a", "b"],
+                      "caption": ["the quick brown fox jumps over it",
+                                  "!!! ??? ..."]})
+        out = make_quality_fn()(t).to_pydict()
+        assert out["n_punct"][1] == 9
+        assert out["quality"][0] > out["quality"][1]
+        assert out["stop_hits"][0] >= 1
+
+    def test_fingerprints_winnowing(self):
+        t = pa.table({"image_id": ["a", "b", "c"],
+                      "caption": ["w1 w2 w3 w4 w5 w6 w7 w8 w9",
+                                  "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+                                  "totally different words here now ok"]})
+        out = make_fingerprint_fn()(t).to_pandas()
+        fa = set(out[out.image_id == "a"].fingerprint)
+        fb = set(out[out.image_id == "b"].fingerprint)
+        fc = set(out[out.image_id == "c"].fingerprint)
+        assert fa == fb and fa
+        assert not (fa & fc)
+
+
+class TestSubstring:
+    def test_suffix_array_oracle(self):
+        rng = np.random.default_rng(7)
+        for n in (1, 2, 5, 37, 200):
+            s = rng.integers(0, 5, size=n)
+            sa = suffix_array(s)
+            want = sorted(range(n), key=lambda i: tuple(s[i:]))
+            assert list(sa) == want, n
+
+    def test_containment_naive(self):
+        caps = ["abc", "zabcz", "zz", "q", "hello world", "world",
+                "abc", "lo wor"]
+        # unique captions only (pipeline runs it on exact-tier reps)
+        caps = sorted(set(caps))
+        flags = substring_contained_flags([c.encode() for c in caps])
+        naive = [any(c != d and c in d for d in caps) for c in caps]
+        assert list(flags) == naive
+
+
+class TestMultimodal:
+    def _payload(self, w=8, h=6, seed=0):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        return img, img.tobytes()
+
+    def test_decode_real_and_stubbed(self):
+        img, buf = self._payload()
+        assert (decode_payload(buf, 8, 6, "rgb8") == img).all()
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x89PNG", 1, 1, "png")
+
+    def test_resize_shapes_and_identity(self):
+        img, _ = self._payload(8, 6)
+        assert resize_nearest(img, 6, 8).shape == (6, 8, 3)
+        assert (resize_nearest(img, 6, 8) == img).all()
+        assert (resize_bilinear(img, 6, 8) == img).all()
+        small = resize_bilinear(img, 3, 4)
+        assert small.shape == (3, 4, 3)
+
+    def test_decode_resize_stage_on_dataset(self, ray_session):
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        ds = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(60)
+        out = ds.map_batches(
+            DecodeResizeStage,
+            fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+            concurrency=2, batch_size=16, batch_format="pyarrow").to_pandas()
+        assert len(out) == 60
+        assert (out.w == 8).all() and (out.h == 8).all()
+        assert out["bytes"].map(len).eq(8 * 8 * 3).all()
+        assert out.decoded.all()
+
+    def test_feature_stage(self, ray_session):
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        ds = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(30)
+        out = ds.map_batches(ImageFeatureStage, concurrency=2,
+                             batch_size=16, batch_format="pyarrow").to_pandas()
+        assert len(out) == 30
+        assert out.mean_r.between(0, 255).all()
+        # phash recomputed from pixels equals the source column
+        src = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(30).to_pandas().set_index("image_id").phash
+        got = out.set_index("image_id").phash_recomputed
+        assert (got == src.loc[got.index]).all()
+
+    def test_frame_sample_stage(self):
+        img, buf = self._payload(4, 4, seed=1)
+        img2, buf2 = self._payload(4, 4, seed=2)
+        video = buf + buf2 + buf + buf2 + buf + buf2
+        t = pa.table({"image_id": ["v1"], "bytes": [video],
+                      "w": pa.array([4], type=pa.int32()),
+                      "h": pa.array([4], type=pa.int32()),
+                      "fmt": ["rgb8v"]})
+        out = FrameSampleStage(n_frames=3)(t).to_pydict()
+        assert out["frame_idx"] == [0, 2, 4]
+        assert out["bytes"][0] == buf
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage()(pa.table({
+                "image_id": ["v"], "bytes": [b""],
+                "w": pa.array([1], type=pa.int32()),
+                "h": pa.array([1], type=pa.int32()), "fmt": ["mp4"]}))
