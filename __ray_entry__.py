@@ -20,11 +20,12 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: synthetic
-    image+caption corpus → exact tier → MinHash/LSH near-dup →
-    connected components → cluster assignments."""
-    from bloom_filters_ray.pipelines.queries import q_neardup_clusters
+    image+caption corpus → exact (payload, caption) tier → MinHash/LSH
+    caption tier + phash Hamming image tier → connected components →
+    cluster assignments."""
+    from bloom_filters_ray.pipelines.queries import q_full_neardup
 
-    return q_neardup_clusters("/root/testdata/sf0.001")
+    return q_full_neardup("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -29,9 +29,9 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import DEFAULT_SEED, xxh64_arrow
-from ..stages.neardup import (UnionFind, dedupe_pairs_block,
-                              make_pair_emitter, make_rep_block)
-from ..stages.simhash import make_code_band_rows, make_hamming_verifier
+from ..stages.neardup import UnionFind, make_rep_block
+from ..stages.simhash import (make_bucket_hamming_emitter,
+                              make_code_band_rows_with_code)
 from ..util import ensure_hash_shuffle
 
 
@@ -77,16 +77,17 @@ def image_exact_tier(ds, cfg: ImageDedupConfig):
                           batch_format="pyarrow", batch_size=None)
 
 
-def image_candidate_pairs(reps_ds, cfg: ImageDedupConfig):
+def image_edges(reps_ds, cfg: ImageDedupConfig):
+    """reps → verified Hamming edges: codes travel with the band rows,
+    verification happens inside each bucket (stages/simhash.py)."""
     bands = reps_ds.map_batches(
-        make_code_band_rows(cfg.code_col, cfg.id_col, cfg.bits_per_band,
-                            cfg.seed),
+        make_code_band_rows_with_code(cfg.code_col, cfg.id_col,
+                                      cfg.bits_per_band, cfg.seed),
         batch_format="pyarrow")
     bands = bands.repartition(cfg.partitions(), keys=["band_key"])
-    pairs = bands.map_batches(make_pair_emitter(cfg.id_col, cfg.max_bucket),
-                              batch_format="pyarrow", batch_size=None)
-    return pairs.map_batches(dedupe_pairs_block, batch_format="pyarrow",
-                             batch_size=None)
+    return bands.map_batches(
+        make_bucket_hamming_emitter(cfg.id_col, cfg.max_distance),
+        batch_format="pyarrow", batch_size=None)
 
 
 def image_dedup_pipeline(ds, cfg: ImageDedupConfig | None = None):
@@ -103,17 +104,7 @@ def image_dedup_pipeline(ds, cfg: ImageDedupConfig | None = None):
     reps = exact.filter(expr="is_rep == True") \
         .select_columns([cfg.id_col, cfg.code_col]).materialize()
 
-    # broadcast id→code lookup (codes are 8 bytes/row; the rep set is
-    # the unique-content set — small relative to the corpus)
-    rep_tbl = pa.concat_tables(
-        [b for b in reps.iter_batches(batch_size=65536, batch_format="pyarrow")])
-    codes = rep_tbl[cfg.code_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-    ref = ray.put((rep_tbl[cfg.id_col].to_pylist(), codes))
-
-    pairs = image_candidate_pairs(reps, cfg)
-    edges = pairs.map_batches(
-        make_hamming_verifier(ref, cfg.max_distance, cfg.id_col),
-        batch_format="pyarrow", batch_size=65536)
+    edges = image_edges(reps, cfg)
 
     uf = UnionFind()
     n_edges = 0

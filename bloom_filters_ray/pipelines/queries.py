@@ -133,6 +133,18 @@ ORACLES: dict[str, str] = {
         WITH {CORPUS_SQL}
         SELECT image_id, TRUE AS present FROM corpus
     """,
+    "events_window": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS cnt,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "xor_members": f"""
+        WITH {CORPUS_SQL}
+        SELECT min(image_id) AS image_id, TRUE AS present
+        FROM corpus GROUP BY caption
+    """,
     "ngram_jaccard": """
         WITH pairs AS (
             SELECT doc_id, trim(text) AS a,
@@ -184,6 +196,18 @@ ORACLES: dict[str, str] = {
 # non-SQL-expressible queries (rows-only driver check)
 # ---------------------------------------------------------------------------
 
+def q_full_neardup(sf_dir: str):
+    """North-star flagship: combined image+caption near-dup clustering
+    (exact payload+caption tier, MinHash/LSH caption tier, phash
+    Hamming tier, union-find over both edge streams)."""
+    from .full import FullDedupConfig, full_dedup_pipeline
+
+    ds = corpus_dataset(sf_dir, with_bytes=True).select_columns(
+        ["image_id", "bytes", "caption", "phash"])
+    assignments, _ = full_dedup_pipeline(ds, FullDedupConfig())
+    return assignments
+
+
 def q_neardup_clusters(sf_dir: str):
     """Flagship near-duplicate pipeline: exact tier + MinHash/LSH +
     verification + connected components → cluster assignments."""
@@ -234,6 +258,66 @@ def q_fingerprints(sf_dir: str):
     """Winnowing fingerprints of captions (k=3 shingles, window=4)."""
     ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
     return ds.map_batches(make_fingerprint_fn(), batch_format="pyarrow")
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events stream table:
+    count + exact integer-cents sum per (window, event_type). Sums in
+    int64 cents so the distributed sum is order-independent (float sums
+    are not associative)."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ensure_hash_shuffle()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        win = pc.floor_temporal(ts, unit="hour")
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [win, batch["event_type"], pa.array(cents)],
+            names=["window_start", "event_type", "cents"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(fn, batch_format="pyarrow")
+    out = ds.groupby(["window_start", "event_type"])         .aggregate(Count(), Sum("cents"))
+    return out.rename_columns({"count()": "cnt", "sum(cents)": "sum_cents"})
+
+
+def q_xor_members(sf_dir: str):
+    """Static-set membership via XOR filter (8-bit fingerprints) built
+    over the exact-tier representative ids; probing every member must
+    return true (XOR filters have no false negatives on the build set).
+    Build is driver-side (XOR peeling is a global construction); the
+    probe runs distributed against the broadcast filter."""
+    import ray
+
+    from ..stages.sketch_aggs import _plain_fetch
+    from ..state.xor_filter import XorFilter
+    from .dedup import exact_tier
+
+    cfg = DedupConfig()
+    ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
+        ["image_id", "caption"])
+    reps = exact_tier(ds, cfg).filter(expr="is_rep == True")         .select_columns(["image_id"]).materialize()
+    ids = [r["image_id"] for r in reps.take_all()]
+    xf = XorFilter.create(ids, bits_per_fingerprint=16)
+    ref = ray.put(xf)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        f = _plain_fetch(ref)
+        col = batch["image_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        present = [f.has(v) for v in col.to_pylist()]
+        return batch.append_column("present", pa.array(present, type=pa.bool_()))
+
+    return reps.map_batches(probe, batch_format="pyarrow")
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -373,11 +457,14 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "bloom_members": q_bloom_members,
     "neardup_clusters": q_neardup_clusters,
+    "full_neardup": q_full_neardup,
     "hll_distinct_captions": q_hll_distinct_captions,
     "cms_caption_counts": q_cms_caption_counts,
     "doc_quality": q_doc_quality,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
+    "events_window": q_events_window,
+    "xor_members": q_xor_members,
     "ngram_jaccard": q_ngram_jaccard,
     "topk_sketch": q_topk_sketch,
     "seenset_mark": q_seenset_mark,

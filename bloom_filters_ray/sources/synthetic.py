@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import xxh64, xxh64_u64
+from ..hashing import xxh64, xxh64_arrow, xxh64_u64
 
 CORPUS_SCHEMA = pa.schema([
     ("image_id", pa.string()),
@@ -80,9 +80,8 @@ def average_phash(img: np.ndarray) -> int:
     area = (np.diff(ys)[:, None] * np.diff(xs)[None, :])
     pooled = pooled / area
     bits = (pooled > pooled.mean()).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    # packbits is bit-for-bit the shift-accumulate loop: bits[0] = MSB
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
@@ -119,20 +118,26 @@ def make_variants(batch: pa.Table, copies: int = 3, with_bytes: bool = True) -> 
     h = (16 + did_rep % 13).astype(np.int32)
 
     if with_bytes:
-        base_list = base_cap.to_pylist()
+        # per-caption pixel/noise seeds hashed once, vectorized (a
+        # scalar xxh64 per caption would dominate the generation cost)
+        pix_seeds = xxh64_arrow(base_cap, 7)
+        noise_seeds = xxh64_arrow(base_cap, 99)
         buf: list[bytes] = []
         phash = np.empty(n * copies, dtype=np.int64)
         row = 0
         for i in range(n):
-            text = base_list[i]
             wi, hi = int(w[row]), int(h[row])
-            base_img = _pixels(text, wi, hi, None)
-            near_img = None
+            base_img = _keystream(int(pix_seeds[i]), wi * hi * 3) \
+                .reshape(hi, wi, 3)
             base_ph = average_phash(base_img)
+            near_img = None
             for v in range(copies):
                 if v == 2:
                     if near_img is None:
-                        near_img = _pixels(text, wi, hi, noise_seed=xxh64(text, 99))
+                        noise = (_keystream(int(noise_seeds[i]), wi * hi * 3)
+                                 .astype(np.int16) % 5 - 2).reshape(hi, wi, 3)
+                        near_img = np.clip(base_img.astype(np.int16) + noise,
+                                           0, 255).astype(np.uint8)
                     buf.append(near_img.tobytes())
                     phash[row] = average_phash(near_img)
                 else:

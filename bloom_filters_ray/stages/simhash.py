@@ -131,6 +131,94 @@ def make_code_band_rows(code_col: str, id_col: str = "image_id",
     return fn
 
 
+def make_code_band_rows_with_code(code_col: str, id_col: str = "image_id",
+                                  bits_per_band: int = 8,
+                                  seed: int = DEFAULT_SEED):
+    """Like make_code_band_rows but carries the 8-byte code with each
+    band row, enabling in-bucket verification (the code is the only
+    side data Hamming needs — unlike MinHash signatures it is cheap to
+    shuffle)."""
+    base = make_code_band_rows(code_col, id_col, bits_per_band, seed)
+    n_bands = 64 // bits_per_band
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = base(batch)
+        codes = batch[code_col]
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        rep = pa.concat_arrays([codes] * n_bands) if n_bands > 1 else codes
+        return out.append_column("code", rep)
+
+    return fn
+
+
+def make_bucket_hamming_emitter(id_col: str = "image_id",
+                                max_distance: int = 4,
+                                max_bucket: int = 4096):
+    """Whole-block fn over hash-partitioned (band_key, id, code) rows:
+    per band bucket, compute the pairwise Hamming matrix VECTORIZED and
+    emit only verified edges (a < b, hamming <= max_distance) — no
+    candidate-pair materialization, no downstream verify stage.
+
+    Duplicate edges across bands are tolerated (union-find is
+    idempotent); a bucket larger than *max_bucket* is processed in
+    row-chunks against the whole bucket, bounding peak memory at
+    O(max_bucket * bucket) per step. The per-bucket cost is inherently
+    O(s^2) Hamming ops — at cluster scale keep the chunk alphabet large
+    (bits_per_band >= 16) so buckets stay small, and rely on the
+    caller's partitioning of band_key.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        codes = batch["code"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        codes_s = codes[order]
+        ids_np = ids.to_numpy(zero_copy_only=False)[order]
+        bounds = np.flatnonzero(np.diff(keys_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(keys_s)]))
+        a_parts, b_parts, d_parts = [], [], []
+        for s0, e0 in zip(starts, ends):
+            size = e0 - s0
+            if size < 2:
+                continue
+            c = codes_s[s0:e0]
+            members = ids_np[s0:e0]
+            step = max_bucket
+            for lo in range(0, size, step):
+                hi = min(lo + step, size)
+                x = c[lo:hi, None] ^ c[None, :]
+                ham = _POP8[x.view(np.uint8).reshape(hi - lo, size, 8)]                     .sum(axis=2)
+                ii, jj = np.nonzero(ham <= max_distance)
+                gi = ii + lo
+                keep = gi < jj  # upper triangle only, no self-pairs
+                if keep.any():
+                    dvals = ham[ii[keep], jj[keep]]
+                    gi, jj = gi[keep], jj[keep]
+                    ma, mb = members[gi], members[jj]
+                    swap = mb < ma
+                    a_parts.append(np.where(swap, mb, ma))
+                    b_parts.append(np.where(swap, ma, mb))
+                    d_parts.append(dvals)
+        if not a_parts:
+            empty = pa.array([], type=ids.type)
+            return pa.Table.from_arrays(
+                [empty, empty, pa.array([], type=pa.int64())],
+                names=["a", "b", "hamming"])
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(a_parts)),
+             pa.array(np.concatenate(b_parts)),
+             pa.array(np.concatenate(d_parts).astype(np.int64))],
+            names=["a", "b", "hamming"])
+
+    return fn
+
+
 def make_hamming_verifier(code_ref, max_distance: int,
                           id_col: str = "image_id"):
     """map_batches fn over candidate (a, b) pairs: keep pairs whose

@@ -37,5 +37,17 @@ def ensure_hash_shuffle():
     cpus = cluster_cpus()
     ctx.default_hash_shuffle_parallelism = min(
         ctx.default_hash_shuffle_parallelism, max(cpus, 2))
+    # Fixed aggregator-actor count (not CPU-proportional): aggregator
+    # startup is a serial per-execution cost, and keeping it constant
+    # also makes two-cluster-size scaling runs structurally identical.
+    # On a real multi-node cluster raise this toward one per node.
     ctx.max_hash_shuffle_aggregators = min(ctx.max_hash_shuffle_aggregators,
-                                           max(cpus // 2, 2))
+                                           int(os.environ.get(
+                                               "GRAFT_SHUFFLE_AGGREGATORS", "8")))
+    # Aggregator actors must not reserve whole CPUs: 8 actors x 1 CPU
+    # deadlocks a 4-CPU cluster (actors pend forever, the shuffle never
+    # starts). A small fractional reservation keeps them schedulable
+    # everywhere; they are IO/merge-light relative to the map side.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.05

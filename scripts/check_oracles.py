@@ -28,6 +28,8 @@ def normalize(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

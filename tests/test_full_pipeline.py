@@ -1,0 +1,54 @@
+"""North-star flagship tests: combined image+caption pipeline."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def full_result(ray_session):
+    from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                  full_dedup_pipeline)
+    from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+    ds = corpus_dataset(SF, with_bytes=True).select_columns(
+        ["image_id", "bytes", "caption", "phash"])
+    assignments, stats = full_dedup_pipeline(ds, FullDedupConfig())
+    return assignments.to_pandas(), stats
+
+
+class TestFullPipeline:
+    def test_planted_duplicates_recalled(self, full_result):
+        df, stats = full_result
+        assert len(df) == 1500
+        d = df.copy()
+        d["doc"] = d.image_id.str.slice(4, 12)
+        d["v"] = d.image_id.str.slice(13).astype(int)
+        base = d[d.v == 0].set_index("doc").cluster_id
+        for v in (1, 2):
+            other = d[d.v == v].set_index("doc").cluster_id
+            recall = (base.loc[other.index] == other).mean()
+            assert recall >= 0.99, (v, recall)
+
+    def test_exact_tier_groups_payload_and_caption(self, full_result):
+        df, stats = full_result
+        # v0/v1 share payload AND caption -> same rep; v2 differs in both
+        d = df.copy()
+        d["doc"] = d.image_id.str.slice(4, 12)
+        d["v"] = d.image_id.str.slice(13).astype(int)
+        v0 = d[d.v == 0].set_index("doc").rep_id
+        v1 = d[d.v == 1].set_index("doc").rep_id
+        v2 = d[d.v == 2].set_index("doc").rep_id
+        assert (v0.loc[v1.index] == v1).all()
+        assert (v2 == d[d.v == 2].set_index("doc").image_id).all()
+        assert stats["n_unique_pairs"] == 1000
+
+    def test_both_edge_tiers_contribute(self, full_result):
+        _, stats = full_result
+        assert stats["n_edges"] > 500  # caption + image tiers
+
+    def test_cluster_id_is_min_member(self, full_result):
+        df, _ = full_result
+        mins = df.groupby("cluster_id")["image_id"].min()
+        assert (mins.index == mins.values).all()
