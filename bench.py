@@ -32,6 +32,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("BENCH_COPIES", "12"))
 PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "32"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "4"))
+# the scaling protocol needs enough parallel work that per-execution
+# serial costs (~5-8s) amortize; the plain per-round bench stays small
+SCALING_COPIES = int(os.environ.get("BENCH_SCALING_COPIES", "96"))
 
 
 def _full_cfg():
@@ -43,12 +46,20 @@ def _full_cfg():
 
 def bench_full_neardup(sf_dir: str) -> int:
     """Flagship: image+caption corpus WITH pixel payloads (COPIES
-    variants/doc) → exact tier → caption MinHash/LSH + phash Hamming
-    tiers → union-find → assignments."""
+    variants/doc) → per-image decode + phash from pixels (a real
+    pipeline derives the code from the payload) → exact tier →
+    caption MinHash/LSH + phash Hamming tiers → union-find →
+    assignments."""
     from bloom_filters_ray.pipelines.full import full_dedup_pipeline
     from bloom_filters_ray.sources.synthetic import corpus_dataset
+    from bloom_filters_ray.stages.multimodal import PhashStage
 
     ds = corpus_dataset(sf_dir, copies=COPIES, with_bytes=True) \
+        .select_columns(["image_id", "bytes", "w", "h", "fmt", "caption"])
+    # instance => stateless task pool (an actor pool's standing CPU
+    # reservation starves 4-CPU clusters alongside shuffle aggregators)
+    ds = ds.map_batches(PhashStage(), batch_size=256,
+                        batch_format="pyarrow") \
         .select_columns(["image_id", "bytes", "caption", "phash"])
     assignments, stats = full_dedup_pipeline(ds, _full_cfg())
     return assignments.count()
@@ -154,7 +165,8 @@ def run_scaling(sf_dir: str) -> dict:
     out = {}
     for cpus in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
-                   BENCH_COPIES=str(COPIES), BENCH_PARTITIONS=str(PARTITIONS))
+                   BENCH_COPIES=str(SCALING_COPIES),
+                   BENCH_PARTITIONS=str(PARTITIONS))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              "full_neardup"],
@@ -173,7 +185,7 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": sf_dir,
         "num_cpus": hi,
         "rows": out[hi]["rows"],
-        "copies": COPIES,
+        "copies": SCALING_COPIES,
     }
 
 

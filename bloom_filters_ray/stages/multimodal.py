@@ -146,6 +146,31 @@ class ImageFeatureStage:
         return pa.Table.from_arrays(cols, names=names)
 
 
+class PhashStage:
+    """Actor-pool stage: decode each payload and (re)compute its 64-bit
+    average phash from pixels — the real image-dedup entry point (a
+    production pipeline derives phash from the decoded image, it does
+    not trust an input column). Output replaces the ``phash`` column;
+    all other columns pass through."""
+
+    def __init__(self, on_error: str = "raise"):
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        ph = np.empty(len(bufs), dtype=np.int64)
+        for i, (buf, w, h, fmt) in enumerate(zip(bufs, ws, hs, fmts)):
+            img = decode_payload(buf, int(w), int(h), fmt)
+            ph[i] = average_phash(img)
+        idx = batch.schema.get_field_index("phash")
+        if idx >= 0:
+            return batch.set_column(idx, "phash", pa.array(ph))
+        return batch.append_column("phash", pa.array(ph))
+
+
 class FrameSampleStage:
     """Actor-pool stage stub for video payloads: sample ``n_frames``
     evenly spaced frames per video. The sandbox has no video codecs;

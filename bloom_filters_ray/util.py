@@ -37,13 +37,14 @@ def ensure_hash_shuffle():
     cpus = cluster_cpus()
     ctx.default_hash_shuffle_parallelism = min(
         ctx.default_hash_shuffle_parallelism, max(cpus, 2))
-    # Fixed aggregator-actor count (not CPU-proportional): aggregator
-    # startup is a serial per-execution cost, and keeping it constant
-    # also makes two-cluster-size scaling runs structurally identical.
-    # On a real multi-node cluster raise this toward one per node.
+    # Aggregator-actor count scales with the cluster (like reduce slots
+    # on a real multi-node cluster) while the PARTITION count stays a
+    # fixed pipeline property — shuffle structure is identical across
+    # cluster sizes, only the resources executing it grow.
+    env_aggs = os.environ.get("GRAFT_SHUFFLE_AGGREGATORS")
+    aggs = int(env_aggs) if env_aggs else max(cpus // 2, 2)
     ctx.max_hash_shuffle_aggregators = min(ctx.max_hash_shuffle_aggregators,
-                                           int(os.environ.get(
-                                               "GRAFT_SHUFFLE_AGGREGATORS", "8")))
+                                           aggs)
     # Aggregator actors must not reserve whole CPUs: 8 actors x 1 CPU
     # deadlocks a 4-CPU cluster (actors pend forever, the shuffle never
     # starts). A small fractional reservation keeps them schedulable
