@@ -60,6 +60,11 @@ class DedupConfig:
     max_bucket: int = 128
     seed: int = DEFAULT_SEED
     num_partitions: int | None = None  # None: ~1 per cluster CPU
+    # hot-band salting: buckets whose CMS/TopK-estimated size exceeds
+    # this are split into n_salt sub-buckets (None disables; the
+    # pair emitter's max_bucket cap still bounds worst-case work)
+    hot_threshold: int | None = None
+    n_salt: int = 16
     broadcast_limit: int = 2_000_000  # sig rows; above this use the hash join
     checkpoint_dir: str | None = None
 
@@ -105,11 +110,24 @@ def signatures(reps_ds, cfg: DedupConfig):
 
 
 def candidate_pairs(sigs_ds, cfg: DedupConfig):
-    """sigs → band rows → hash-partitioned buckets → pairs (block-local
-    dedupe). One keyed shuffle; emitted pairs may repeat across blocks."""
+    """sigs → band rows → (optional hot-band salting) →
+    hash-partitioned buckets → pairs (block-local dedupe). One keyed
+    shuffle; emitted pairs may repeat across blocks."""
     bands_ds = sigs_ds.map_batches(
         make_band_rows(cfg.id_col, cfg.bands, cfg.rows_per_band, cfg.seed),
         batch_format="pyarrow")
+    if cfg.hot_threshold is not None:
+        from ..stages.neardup import make_salt_fn
+        from ..stages.sketch_aggs import build_topk
+
+        bands_ds = bands_ds.materialize()
+        top = build_topk(bands_ds, on="band_key", k=512, error_rate=1e-5,
+                         seed=cfg.seed)
+        hot = [t["value"] for t in top if t["frequency"] > cfg.hot_threshold]
+        if hot:
+            bands_ds = bands_ds.map_batches(
+                make_salt_fn(hot, cfg.n_salt, cfg.id_col, cfg.seed),
+                batch_format="pyarrow")
     bands_ds = bands_ds.repartition(cfg.partitions(), keys=["band_key"])
     pairs = bands_ds.map_batches(
         make_pair_emitter(cfg.id_col, cfg.max_bucket),

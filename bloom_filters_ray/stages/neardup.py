@@ -102,6 +102,48 @@ def make_band_rows(id_col: str, bands: int, rows_per_band: int,
     return fn
 
 
+def make_salt_fn(hot_keys, n_salt: int, id_col: str,
+                 seed: int = DEFAULT_SEED):
+    """Salt HOT band keys (north_star: "explicit salting of hot
+    bands"): rows whose band_key is in *hot_keys* are rescattered into
+    ``n_salt`` sub-buckets keyed by hash(id) — a hot bucket's
+    candidate-pair work then spreads across partitions and is bounded
+    per sub-bucket.
+
+    Recall semantics: pairs split across sub-buckets are lost IN THAT
+    BAND only; a true near-dup pair that also collides in any cold
+    band is still found, so realistic skew (hot buckets = boilerplate)
+    costs nothing — tests/test_salting.py asserts bit-equal output on
+    the standard corpus and bounded loss on an adversarial fixture
+    where EVERY band is hot. The pair emitter's max_bucket star+chain
+    cap remains the deterministic connectivity-preserving fallback;
+    salting is the opt-in load-spreader. Hot keys come from a CMS/TopK
+    pass over the band rows (stages/sketch_aggs.build_topk).
+    """
+    hot_arr = np.array(sorted(hot_keys), dtype=np.int64)
+    from ..hashing import xxh64_u64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, hot_arr)
+        if not mask.any():
+            return batch
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        from ..hashing import xxh64_arrow
+
+        salt = xxh64_arrow(ids, 31337) % np.uint64(n_salt)
+        mixed = xxh64_u64((keys.astype(np.int64).view(np.uint64)
+                           * np.uint64(0x9E3779B185EBCA87)) ^ (salt + np.uint64(1)),
+                          seed + 77)
+        out = np.where(mask, mixed.astype(np.int64), keys)
+        i = batch.schema.get_field_index("band_key")
+        return batch.set_column(i, "band_key", pa.array(out))
+
+    return fn
+
+
 def make_pair_emitter(id_col: str, max_bucket: int = 128):
     """Returns a whole-block map_batches fn over hash-partitioned band
     rows: groups by band_key (vectorized np.unique within the block)

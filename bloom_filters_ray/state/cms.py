@@ -56,12 +56,20 @@ class CountMinSketch:
         return self._all_sums
 
     def update(self, element, count: int = 1) -> None:
+        if isinstance(element, (int, np.integer)):
+            from ._batch import int_to_bytes
+
+            element = int_to_bytes(int(element))
         self._all_sums += count
         idx = get_indexes(element, self._columns, self._rows, self._seed)
         for i in range(self._rows):
             self._matrix[i, idx[i]] += count
 
     def count(self, element) -> int:
+        if isinstance(element, (int, np.integer)):
+            from ._batch import int_to_bytes
+
+            element = int_to_bytes(int(element))
         idx = get_indexes(element, self._columns, self._rows, self._seed)
         return int(min(self._matrix[i, idx[i]] for i in range(self._rows)))
 

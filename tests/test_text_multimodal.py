@@ -145,3 +145,16 @@ class TestMultimodal:
                 "image_id": ["v"], "bytes": [b""],
                 "w": pa.array([1], type=pa.int32()),
                 "h": pa.array([1], type=pa.int32()), "fmt": ["mp4"]}))
+
+    def test_phash_stage_matches_column(self, ray_session):
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+        from bloom_filters_ray.stages.multimodal import PhashStage
+
+        ds = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(30)
+        out = ds.map_batches(PhashStage(), batch_size=16,
+                             batch_format="pyarrow").to_pandas()
+        src = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(30).to_pandas().set_index("image_id").phash
+        got = out.set_index("image_id").phash
+        assert (got == src.loc[got.index]).all()
