@@ -148,8 +148,13 @@ def verify_pairs_broadcast(pairs_ds, sig_table: pa.Table, cfg: DedupConfig):
 
 
 def verify_pairs_join(pairs_ds, sigs_ds, cfg: DedupConfig):
-    """Scale path: two hash joins pairs⋈sigs (on a, then on b)."""
-    sigs = sigs_ds.select_columns([cfg.id_col, "sig"])
+    """Scale path: two hash joins pairs⋈sigs (on a, then on b).
+    Signatures ride as fixed-width binary payloads (Arrow acero joins
+    reject fixed_size_list non-key fields)."""
+    from ..stages.neardup import sig_to_binary_fn
+
+    sigs = sigs_ds.select_columns([cfg.id_col, "sig"]).map_batches(
+        sig_to_binary_fn(), batch_format="pyarrow")
     j1 = pairs_ds.join(sigs, "inner", cfg.partitions(),
                        on=("a",), right_on=(cfg.id_col,))
     j1 = _rename(j1, "sig", "sig_a")

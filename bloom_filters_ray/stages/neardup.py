@@ -64,12 +64,37 @@ def make_signature_fn(id_col: str = "image_id", text_col: str = "caption",
 
 
 def sig_matrix(table: pa.Table, sig_col: str = "sig") -> np.ndarray:
-    """Zero-copy-ish (n, k) int64 view of a FixedSizeList signature column."""
+    """Zero-copy-ish (n, k) int64 view of a signature column — either
+    the FixedSizeList layout or the binary encoding used through hash
+    joins (Arrow acero rejects fixed_size_list non-key fields)."""
     col = table[sig_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        buf = np.frombuffer(col.buffers()[2], dtype="<i8")
+        n = len(col)
+        return buf[: n * (len(buf) // n)].reshape(n, -1) if n else \
+            buf.reshape(0, 0)
     k = col.type.list_size
     return np.asarray(col.values, dtype=np.int64).reshape(-1, k)
+
+
+def sig_to_binary_fn(sig_col: str = "sig"):
+    """map_batches fn converting the signature column to plain binary
+    (8k bytes/row, little-endian int64) so it can ride through Arrow
+    hash joins as a payload column."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = sig_matrix(batch, sig_col)
+        n, k = m.shape
+        data = pa.py_buffer(np.ascontiguousarray(m, dtype="<i8").tobytes())
+        offsets = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * (k * 8)).tobytes())
+        arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+        i = batch.schema.get_field_index(sig_col)
+        return batch.set_column(i, sig_col, arr)
+
+    return fn
 
 
 def make_band_rows(id_col: str, bands: int, rows_per_band: int,

@@ -181,3 +181,20 @@ class TestDedupPipeline:
         base = df[df["variant"] == 0].set_index("doc")["cluster_id"]
         exact = df[df["variant"] == 1].set_index("doc")["cluster_id"]
         assert (base.loc[exact.index] == exact).all()
+
+
+class TestJoinVerificationPath:
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        """The scale-path hash-join verification (broadcast_limit=0)
+        yields identical cluster assignments to the broadcast path
+        (edge multiplicity may differ; union-find is idempotent)."""
+        from bloom_filters_ray.pipelines.dedup import (DedupConfig,
+                                                       dedup_pipeline)
+
+        ds = corpus_dataset(SF, with_bytes=False).select_columns(
+            ["image_id", "caption"])
+        a1, _ = dedup_pipeline(ds, DedupConfig())
+        a2, _ = dedup_pipeline(ds, DedupConfig(broadcast_limit=0))
+        d1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert d1.equals(d2)
