@@ -133,6 +133,34 @@ ORACLES: dict[str, str] = {
         WITH {CORPUS_SQL}
         SELECT image_id, TRUE AS present FROM corpus
     """,
+    "quality_components": f"""
+        WITH {CORPUS_SQL},
+        tok AS (
+            SELECT image_id,
+                   unnest(regexp_split_to_array(lower(trim(caption)), ' +')) AS t
+            FROM corpus WHERE trim(caption) <> ''
+        ),
+        sh AS (
+            SELECT image_id, count(*) AS n
+            FROM tok WHERE t IN ('the', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that', 'he', 'was', 'for', 'on', 'are', 'as', 'with', 'his', 'they', 'at', 'be', 'this', 'have', 'from', 'or', 'one', 'had', 'by', 'but', 'not', 'what', 'all', 'were', 'we', 'when', 'your', 'can', 'there', 'an')
+            GROUP BY image_id
+        ),
+        nt AS (SELECT image_id, count(*) AS n FROM tok GROUP BY image_id)
+        SELECT c.image_id,
+               CAST(coalesce(nt.n, 0) AS BIGINT) AS n_tokens,
+               CAST(length(c.caption) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(c.caption, '[^A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(c.caption, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS n_digit,
+               CAST(length(c.caption)
+                    - length(regexp_replace(c.caption,
+                                            '[!-/:-@[-`{{-~]', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(coalesce(sh.n, 0) AS BIGINT) AS stop_hits
+        FROM corpus c
+        LEFT JOIN nt USING (image_id) LEFT JOIN sh USING (image_id)
+    """,
     "events_window": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS cnt,
@@ -258,6 +286,28 @@ def q_fingerprints(sf_dir: str):
     """Winnowing fingerprints of captions (k=3 shingles, window=4)."""
     ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
     return ds.map_batches(make_fingerprint_fn(), batch_format="pyarrow")
+
+
+def q_quality_components(sf_dir: str):
+    """Integer quality-score components (exact-arithmetic subset of
+    q_doc_quality, SQL-oracle friendly): token/char/alpha/digit/punct
+    counts + English-stopword hits per image."""
+    from ..stages.textstats import make_quality_fn
+
+    ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
+    out = ds.map_batches(make_quality_fn(), batch_format="pyarrow")
+    return out.select_columns(["image_id", "n_tokens", "n_chars", "n_alpha",
+                               "n_digit", "n_punct", "stop_hits"])
+
+
+def q_text_simhash(sf_dir: str):
+    """SimHash codes of caption shingle sets (Charikar
+    sign-of-weighted-sums; stages/simhash.py) — the text-side 64-bit
+    code the Hamming banding machinery consumes."""
+    from ..stages.simhash import make_text_simhash_fn
+
+    ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
+    return ds.map_batches(make_text_simhash_fn(), batch_format="pyarrow")
 
 
 def q_events_window(sf_dir: str):
@@ -463,6 +513,8 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
+    "quality_components": q_quality_components,
+    "text_simhash": q_text_simhash,
     "events_window": q_events_window,
     "xor_members": q_xor_members,
     "ngram_jaccard": q_ngram_jaccard,
