@@ -104,11 +104,58 @@ def bench_image_features(sf_dir: str) -> int:
                           batch_size=64, batch_format="pyarrow").count()
 
 
+def bench_ann(sf_dir: str) -> int:
+    """Similarity search: brute-force cosine top-10 for 50 query
+    vectors (block-local top-k, broadcast query matrix) + projection-
+    LSH embedding near-dup clustering over the planted corpus."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from bloom_filters_ray.pipelines.embdedup import (EmbDedupConfig,
+                                                      embedding_dedup_pipeline)
+    from bloom_filters_ray.sources.synthetic import embedding_corpus
+    from bloom_filters_ray.stages.ann import brute_force_topk, embedding_matrix
+    from bloom_filters_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 50)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               override_num_blocks=16)
+    topk = brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=10)
+    assignments, _ = embedding_dedup_pipeline(embedding_corpus(sf_dir),
+                                              EmbDedupConfig())
+    return len(topk) + len(assignments)
+
+
+def bench_substring(sf_dir: str) -> int:
+    """Exact-substring dedup, scale path: suffix-array containment per
+    key-hashed caption shard (16 shards; containment is detected
+    within a shard — the documented partitioning assumption of
+    stages/substring.py; the oracle query runs the global
+    single-partition variant)."""
+    from bloom_filters_ray.pipelines.dedup import DedupConfig, exact_tier
+    from bloom_filters_ray.sources.synthetic import corpus_dataset
+    from bloom_filters_ray.stages.substring import make_substring_flag_fn
+
+    cfg = DedupConfig(num_partitions=PARTITIONS)
+    ds = corpus_dataset(sf_dir, copies=3, with_bytes=False) \
+        .select_columns(["image_id", "caption"])
+    uniq = exact_tier(ds, cfg).filter(expr="is_rep == True") \
+        .select_columns(["image_id", "caption"])
+    out = uniq.repartition(16, keys=["caption"]).map_batches(
+        make_substring_flag_fn(), batch_format="pyarrow", batch_size=None)
+    return out.count()
+
+
 BENCH_QUERIES = {
     "full_neardup": bench_full_neardup,
     "caption_neardup": bench_caption_neardup,
     "sketch_builds": bench_sketches,
     "image_features": bench_image_features,
+    "ann_embedding": bench_ann,
+    "substring_dedup": bench_substring,
 }
 
 
@@ -144,7 +191,7 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
         times[name] = round(time.perf_counter() - t0, 3)
     ray.shutdown()
     return {
-        "metric": "headline pipeline wall time (full/caption dedup, sketches, image features)",
+        "metric": "headline pipeline wall time (dedup tiers, sketches, image features, ANN, substring)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
