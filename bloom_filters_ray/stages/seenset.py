@@ -22,6 +22,14 @@ seen-set trade.
 Shard state checkpoints via ``save_as_json`` (reference JSON layout)
 and restores with ``load``, so a resumed job continues the same
 seen-set (north_rule resumability).
+
+Task-retry semantics (SURVEY.md §7 hard part f): actor state is NOT
+rebuilt by Ray lineage. If a ``mark_new`` map task retries, its keys
+are already inserted, so the retried batch reports them as seen —
+first-arrival marking is at-most-once under retries (never
+duplicated). Pipelines needing exactly-once winners use the
+deterministic exact tier (min-id per key) instead; the seen-set is
+the STREAMING prune, where at-most-once is the standard contract.
 """
 
 from __future__ import annotations
