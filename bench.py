@@ -32,6 +32,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("BENCH_COPIES", "12"))
 PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "32"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "4"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))  # best-of-N per query
 # the scaling protocol needs enough parallel work that per-execution
 # serial costs (~5-8s) amortize; the plain per-round bench stays small
 SCALING_COPIES = int(os.environ.get("BENCH_SCALING_COPIES", "96"))
@@ -186,9 +187,13 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
-        t0 = time.perf_counter()
-        rows[name] = int(fn(sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(REPEAT, 1)):  # best-of-N: steady-state wall
+            t0 = time.perf_counter()     # time, not first-run jitter
+            rows[name] = int(fn(sf_dir)) # (this VM varies ±70%)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     ray.shutdown()
     return {
         "metric": "headline pipeline wall time (dedup tiers, sketches, image features, ANN, substring)",

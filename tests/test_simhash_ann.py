@@ -122,3 +122,34 @@ class TestANN:
         cos = np.einsum("ij,ij->i", En[0::2], En[1::2])
         assert (cos >= 0.98).all()
         assert (cos <= 0.9999).all()  # genuinely perturbed
+
+
+class TestBucketHammingEmitter:
+    def test_matches_bruteforce_pairs(self):
+        from bloom_filters_ray.stages.simhash import (
+            make_bucket_hamming_emitter, make_code_band_rows_with_code)
+
+        rng = np.random.default_rng(11)
+        n = 120
+        base = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        # plant near codes
+        codes = base.copy()
+        for i in range(0, n, 3):
+            codes[i] = base[(i + 1) % n] ^ (np.uint64(1) << np.uint64(i % 64))
+        tbl = pa.table({"image_id": [f"z{i:03d}" for i in range(n)],
+                        "code": pa.array(codes.astype(np.int64))})
+        bands = make_code_band_rows_with_code("code", "image_id", 8)(tbl)
+        edges = make_bucket_hamming_emitter("image_id", max_distance=4)(bands)
+        got = set(zip(edges["a"].to_pylist(), edges["b"].to_pylist()))
+        # brute force: ALL pairs with hamming <= 4 (<= B-1=7 so banding
+        # guarantees each appears in some bucket; single block here)
+        from bloom_filters_ray.stages.simhash import hamming64
+
+        want = set()
+        ids = tbl["image_id"].to_pylist()
+        for i in range(n):
+            d = hamming64(np.full(n, codes[i], dtype=np.uint64), codes)
+            for j in range(i + 1, n):
+                if d[j] <= 4:
+                    want.add((ids[i], ids[j]))
+        assert got == want
