@@ -209,17 +209,51 @@ def _get_cached_map(ref):
     return _MAP_CACHE[key]
 
 
-def _ckpt(ds, cfg: DedupConfig, name: str):
+def _ckpt(ds, cfg: DedupConfig, name: str, ledger_col: str | None = None):
     """Materialize a stage — through a parquet checkpoint when
     configured (a resumed run reads it back instead of recomputing),
-    else in the object store."""
+    else in the object store.
+
+    Alongside the parquet, each completed stage records (north_rule
+    "per-partition lineage + metrics"):
+    - ``_METRICS.json``: rows, blocks, wall seconds, config snapshot;
+    - ``_LEDGER.json`` (when *ledger_col* is set): an IBLT of the
+      written ids — ``pipelines.checkpoint.delta_verify`` can then
+      list exactly which rows a crashed writer missed in O(d) without
+      rescanning the data.
+    """
     if cfg.checkpoint_dir:
+        import json
+        import time as _time
+
         import ray.data
 
         path = os.path.join(cfg.checkpoint_dir, name)
         done = os.path.join(path, "_SUCCESS")
         if not os.path.exists(done):
+            t0 = _time.perf_counter()
+            ds = ds.materialize()
             ds.write_parquet(path)
+            n = ds.count()
+            metrics = {
+                "stage": name,
+                "rows": n,
+                "blocks": ds.num_blocks(),
+                "wall_seconds": round(_time.perf_counter() - t0, 3),
+                "config": {k: v for k, v in dataclasses.asdict(cfg).items()
+                           if isinstance(v, (int, float, str, bool,
+                                             type(None)))},
+            }
+            with open(os.path.join(path, "_METRICS.json"), "w") as f:
+                json.dump(metrics, f)
+            if ledger_col is not None:
+                from .checkpoint import build_iblt
+
+                ledger = build_iblt(ds.select_columns([ledger_col]),
+                                    on=ledger_col, differences=128,
+                                    seed=cfg.seed)
+                with open(os.path.join(path, "_LEDGER.json"), "w") as f:
+                    json.dump(ledger.save_as_json(), f)
             with open(done, "w") as f:
                 f.write("ok")
         return ray.data.read_parquet(path)
@@ -235,7 +269,7 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
     ensure_hash_shuffle()
 
     # execution 1 (shuffle 1): exact tier
-    exact = _ckpt(exact_tier(ds, cfg), cfg, "exact")
+    exact = _ckpt(exact_tier(ds, cfg), cfg, "exact", ledger_col=cfg.id_col)
     n_input = exact.count()
 
     # execution 2 (no shuffle): signatures of unique captions, collected

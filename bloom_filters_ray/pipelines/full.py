@@ -109,7 +109,7 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     proj = proj.repartition(ccfg.partitions(), keys=["exact_key"])
     exact = proj.map_batches(make_rep_block(ccfg.id_col, "exact_key"),
                              batch_format="pyarrow", batch_size=None)
-    exact = _ckpt(exact, ccfg, "full_exact")
+    exact = _ckpt(exact, ccfg, "full_exact", ledger_col=ccfg.id_col)
     n_input = exact.count()
 
     # execution 2: signatures (+phash) of the reps

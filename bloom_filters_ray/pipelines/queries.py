@@ -310,6 +310,18 @@ def q_text_simhash(sf_dir: str):
     return ds.map_batches(make_text_simhash_fn(), batch_format="pyarrow")
 
 
+def q_image_simhash(sf_dir: str):
+    """SimHash over decoded pixel features (quantized pooled cells) —
+    the image-side 64-bit code alternative to phash; feeds the same
+    Hamming banding machinery."""
+    from ..stages.simhash import make_image_simhash_fn
+
+    ds = corpus_dataset(sf_dir, with_bytes=True).select_columns(
+        ["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(make_image_simhash_fn(), batch_format="pyarrow",
+                          batch_size=256)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream table:
     count + exact integer-cents sum per (window, event_type). Sums in
@@ -515,6 +527,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "quality_components": q_quality_components,
     "text_simhash": q_text_simhash,
+    "image_simhash": q_image_simhash,
     "events_window": q_events_window,
     "xor_members": q_xor_members,
     "ngram_jaccard": q_ngram_jaccard,

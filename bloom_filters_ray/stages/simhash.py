@@ -100,6 +100,57 @@ def make_text_simhash_fn(id_col: str = "image_id", text_col: str = "caption",
     return fn
 
 
+def image_feature_tokens(img: "np.ndarray", grid: int = 8,
+                         levels: int = 16) -> np.ndarray:
+    """Quantized pixel-feature tokens for SimHash over images
+    (north_star: "SimHash over phash/pixel features"): the image is
+    grid x grid average-pooled per channel, each cell's mean is
+    quantized to *levels*, and (cell, channel, level) triplets become
+    uint64 tokens. Near-duplicate pixels keep almost all tokens."""
+    h, w, c = img.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    pooled = np.add.reduceat(np.add.reduceat(
+        img.astype(np.float64), ys[:-1], axis=0), xs[:-1], axis=1)
+    area = (np.diff(ys)[:, None, None] * np.diff(xs)[None, :, None])
+    q = np.minimum((pooled / area) * levels / 256.0,
+                   levels - 1).astype(np.uint64)
+    pos = np.arange(grid * grid * c, dtype=np.uint64)
+    return (pos << np.uint64(8)) | q.ravel()
+
+
+def make_image_simhash_fn(id_col: str = "image_id",
+                          seed: int = DEFAULT_SEED):
+    """map_batches fn: decode each payload, tokenize pixel features,
+    SimHash → (id, image_simhash int64). Per-row decode is inherent
+    per-image work; tokenization and hashing are vectorized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..stages.multimodal import decode_payload
+
+        bufs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        toks = []
+        for buf, w, h, fmt in zip(bufs, ws, hs, fmts):
+            img = decode_payload(buf, int(w), int(h), fmt)
+            toks.append(image_feature_tokens(img))
+        if toks:
+            flat = xxh64_u64(np.concatenate(toks), seed)
+            offsets = np.concatenate(
+                ([0], np.cumsum([len(t) for t in toks]))).astype(np.int64)
+        else:
+            flat = np.empty(0, dtype=np.uint64)
+            offsets = np.zeros(1, dtype=np.int64)
+        codes = simhash64(flat, offsets)
+        return pa.Table.from_arrays(
+            [batch[id_col], pa.array(codes.astype(np.int64))],
+            names=[id_col, "image_simhash"])
+
+    return fn
+
+
 def make_code_band_rows(code_col: str, id_col: str = "image_id",
                         bits_per_band: int = 8, seed: int = DEFAULT_SEED,
                         hash_keys: bool = True):

@@ -153,3 +153,27 @@ class TestBucketHammingEmitter:
                 if d[j] <= 4:
                     want.add((ids[i], ids[j]))
         assert got == want
+
+
+class TestImageSimHash:
+    def test_neardup_images_close_codes(self, ray_session):
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+        from bloom_filters_ray.stages.simhash import (hamming64,
+                                                      make_image_simhash_fn)
+
+        ds = corpus_dataset(SF, with_bytes=True).limit(300)
+        out = ds.map_batches(make_image_simhash_fn(), batch_format="pyarrow",
+                             batch_size=64).to_pandas()
+        out["doc"] = out.image_id.str.slice(4, 12)
+        out["v"] = out.image_id.str.slice(13).astype(int)
+        piv = out.pivot(index="doc", columns="v", values="image_simhash")
+        mask = (1 << 64) - 1
+        c0 = piv[0].to_numpy().astype(np.int64).view(np.uint64)
+        c1 = piv[1].to_numpy().astype(np.int64).view(np.uint64)
+        c2 = piv[2].to_numpy().astype(np.int64).view(np.uint64)
+        assert (c0 == c1).all()                      # exact dup: identical
+        near = hamming64(c0, c2)
+        assert np.median(near) <= 8                  # near dup: close
+        # different docs: far apart on average
+        far = hamming64(c0, np.roll(c0, 1))
+        assert np.median(far) > np.median(near) + 8

@@ -154,3 +154,35 @@ class TestCheckpointResume:
         back = load_sketch_json(p, HyperLogLog)
         assert back.equals(hll)
         assert back.count() == hll.count()
+
+
+class TestCheckpointArtifacts:
+    def test_metrics_and_ledger_written(self, ray_session, tmp_path):
+        import json
+
+        import ray.data
+
+        from bloom_filters_ray.pipelines.checkpoint import delta_verify
+        from bloom_filters_ray.pipelines.dedup import (DedupConfig,
+                                                       dedup_pipeline)
+        from bloom_filters_ray.state.iblt import InvertibleBloomFilter
+
+        cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+        dedup_pipeline(_corpus(ray_session), cfg)
+        mpath = tmp_path / "exact" / "_METRICS.json"
+        lpath = tmp_path / "exact" / "_LEDGER.json"
+        assert mpath.exists() and lpath.exists()
+        m = json.loads(mpath.read_text())
+        assert m["rows"] == 1500 and m["stage"] == "exact"
+        assert m["config"]["threshold"] == cfg.threshold
+        # the ledger reconciles against what was actually written
+        ledger = InvertibleBloomFilter.from_json(json.loads(lpath.read_text()))
+        written = ray.data.read_parquet(str(tmp_path / "exact")) \
+            .select_columns(["image_id"])
+        from bloom_filters_ray.pipelines.checkpoint import build_iblt
+
+        again = build_iblt(written, on="image_id", differences=128,
+                           seed=cfg.seed)
+        diff = again.substract(ledger).decode()
+        assert diff["success"]
+        assert diff["missing"] == [] and diff["additional"] == []
