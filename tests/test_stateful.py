@@ -186,3 +186,60 @@ class TestCheckpointArtifacts:
         diff = again.substract(ledger).decode()
         assert diff["success"]
         assert diff["missing"] == [] and diff["additional"] == []
+
+
+class TestKillResume:
+    def test_sigkilled_run_resumes_without_recompute(self, ray_session,
+                                                     tmp_path):
+        """north_rule: 'a killed job resumes without recomputation'.
+        A subprocess running the checkpointed pipeline is SIGKILLed as
+        soon as the first stage checkpoint lands; the resumed run (in
+        this process) reuses that parquet — same _METRICS.json mtime —
+        and produces the same result as an uninterrupted run."""
+        import json
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        ckpt = tmp_path / "ckpt"
+        script = f"""
+import sys; sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+import ray.data
+ray.data.DataContext.get_current().enable_progress_bars = False
+from bloom_filters_ray.sources.synthetic import corpus_dataset
+from bloom_filters_ray.pipelines.dedup import DedupConfig, dedup_pipeline
+ds = corpus_dataset({SF!r}, with_bytes=False).select_columns(["image_id", "caption"])
+dedup_pipeline(ds, DedupConfig(checkpoint_dir={str(ckpt)!r}))
+"""
+        proc = subprocess.Popen([sys.executable, "-c", script],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        marker = ckpt / "exact" / "_SUCCESS"
+        deadline = time.time() + 120
+        while time.time() < deadline and not marker.exists():
+            if proc.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert marker.exists(), "first stage checkpoint never appeared"
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+        mpath = ckpt / "exact" / "_METRICS.json"
+        mtime_before = mpath.stat().st_mtime
+        rows_before = json.loads(mpath.read_text())["rows"]
+
+        from bloom_filters_ray.pipelines.dedup import (DedupConfig,
+                                                       dedup_pipeline)
+
+        ds = _corpus(ray_session)
+        resumed, _ = dedup_pipeline(ds, DedupConfig(checkpoint_dir=str(ckpt)))
+        fresh, _ = dedup_pipeline(ds, DedupConfig())
+        r = resumed.to_pandas().sort_values("image_id").reset_index(drop=True)
+        f = fresh.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert r.equals(f)
+        # the exact-stage checkpoint was REUSED, not rewritten
+        assert mpath.stat().st_mtime == mtime_before
+        assert json.loads(mpath.read_text())["rows"] == rows_before
