@@ -66,6 +66,7 @@ class DedupConfig:
     hot_threshold: int | None = None
     n_salt: int = 16
     broadcast_limit: int = 2_000_000  # sig rows; above this use the hash join
+    cc: str = "driver"  # "driver" union-find | "distributed" star contraction
     checkpoint_dir: str | None = None
 
     def __post_init__(self):
@@ -288,15 +289,29 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
         edges = verify_pairs_broadcast(pairs, sig_table, cfg)
     else:
         edges = verify_pairs_join(pairs, sigs, cfg)
-    edge_batches = []
-    n_edges = 0
-    comp_uf = UnionFind()
-    for batch in edges.select_columns(["a", "b"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        n_edges += len(batch)
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            comp_uf.union(x, y)
-    comp = comp_uf.components()
+    if cfg.cc == "distributed":
+        # scale path: large/small-star contraction keeps components as
+        # edge rows; the label table is collected only for assignment
+        # (swap for a hash join when components outgrow the driver)
+        from ..stages.cc import connected_components_distributed
+
+        labels = connected_components_distributed(
+            edges.select_columns(["a", "b"]), cfg.partitions())
+        comp = {}
+        n_edges = -1  # not counted on this path
+        for batch in labels.iter_batches(batch_size=1 << 16,
+                                         batch_format="pyarrow"):
+            comp.update(zip(batch["image_id"].to_pylist(),
+                            batch["cluster_id"].to_pylist()))
+    else:
+        n_edges = 0
+        comp_uf = UnionFind()
+        for batch in edges.select_columns(["a", "b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            n_edges += len(batch)
+            for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+                comp_uf.union(x, y)
+        comp = comp_uf.components()
 
     # execution 4 (no shuffle): final assignment
     assignments = assign_clusters(exact, comp, cfg)

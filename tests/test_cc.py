@@ -74,3 +74,16 @@ class TestDistributedCC:
         got = dict(zip(got_df.image_id, got_df.cluster_id))
         assert got == want
         assert len(got) > 500
+
+    def test_pipeline_with_distributed_cc_matches_driver(self, ray_session):
+        from bloom_filters_ray.pipelines.dedup import (DedupConfig,
+                                                       dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        ds = corpus_dataset("/root/testdata/sf0.001", with_bytes=False) \
+            .select_columns(["image_id", "caption"])
+        a1, _ = dedup_pipeline(ds, DedupConfig(cc="driver"))
+        a2, _ = dedup_pipeline(ds, DedupConfig(cc="distributed"))
+        d1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert d1.equals(d2)
