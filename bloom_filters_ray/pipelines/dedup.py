@@ -225,13 +225,30 @@ def _ckpt(ds, cfg: DedupConfig, name: str, ledger_col: str | None = None):
     """
     if cfg.checkpoint_dir:
         import json
+        import shutil
         import time as _time
 
         import ray.data
 
         path = os.path.join(cfg.checkpoint_dir, name)
         done = os.path.join(path, "_SUCCESS")
+        snapshot = {k: v for k, v in dataclasses.asdict(cfg).items()
+                    if isinstance(v, (int, float, str, bool, type(None)))}
+        if os.path.exists(done):
+            # resume guard: a checkpoint written under a DIFFERENT config
+            # (threshold, bands, seed, ...) must not be silently reused
+            try:
+                with open(os.path.join(path, "_METRICS.json")) as f:
+                    stored = json.load(f).get("config")
+            except (OSError, ValueError):
+                stored = None
+            if stored is not None and stored != snapshot:
+                shutil.rmtree(path)
         if not os.path.exists(done):
+            # a dir without _SUCCESS is a crashed mid-write: clear it so
+            # recomputed files don't sit beside stale partial ones
+            if os.path.isdir(path):
+                shutil.rmtree(path)
             t0 = _time.perf_counter()
             ds = ds.materialize()
             ds.write_parquet(path)
@@ -241,9 +258,7 @@ def _ckpt(ds, cfg: DedupConfig, name: str, ledger_col: str | None = None):
                 "rows": n,
                 "blocks": ds.num_blocks(),
                 "wall_seconds": round(_time.perf_counter() - t0, 3),
-                "config": {k: v for k, v in dataclasses.asdict(cfg).items()
-                           if isinstance(v, (int, float, str, bool,
-                                             type(None)))},
+                "config": snapshot,
             }
             with open(os.path.join(path, "_METRICS.json"), "w") as f:
                 json.dump(metrics, f)

@@ -9,8 +9,9 @@ phash) rows (BASELINE.json:input_hint).
                 (payload, caption) pair
       ▼ reps (filtered inline from the materialized exact tier)
     signature stage: shingle → MinHash sigs, phash carried through
-      ▼ sigs (image_id, sig, phash) — ONE materialization + ONE
-      │       driver collect feeds both verifiers' broadcast tables
+      ▼ sigs (image_id, sig, phash) — ONE materialization; caption
+      │       verification side data is broadcast below
+      │       broadcast_limit, a two-sided hash join above it
       ├─ caption tier: LSH band shuffle → pairs → positional-Jaccard
       │     verify ≥ τ → edges
       └─ image tier: phash Hamming bands → band shuffle → pairs →
@@ -38,12 +39,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import xxh64_arrow
-from ..stages.neardup import (UnionFind, make_broadcast_verifier,
-                              make_rep_block, make_signature_fn, sig_matrix)
+from ..stages.neardup import UnionFind, make_rep_block, make_signature_fn
 from ..stages.simhash import (make_bucket_hamming_emitter,
                               make_code_band_rows_with_code)
 from ..util import ensure_hash_shuffle
-from .dedup import DedupConfig, _ckpt, assign_clusters, candidate_pairs
+from .dedup import (DedupConfig, _ckpt, assign_clusters, candidate_pairs,
+                    verify_pairs_broadcast, verify_pairs_join)
 
 
 @dataclasses.dataclass
@@ -98,8 +99,6 @@ def _sig_with_phash(cfg: DedupConfig):
 def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     """Returns (assignments Dataset, stats dict). *ds* needs columns
     [image_id, bytes, caption, phash]."""
-    import ray
-
     cfg = cfg or FullDedupConfig()
     ccfg = cfg.caption
     ensure_hash_shuffle()
@@ -120,18 +119,21 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     sigs = _ckpt(sigs, ccfg, "full_sigs")
     n_reps = sigs.count()
 
-    # execution 3: collect the signature table for caption verification
-    sig_table = pa.concat_tables(
-        [b for b in sigs.iter_batches(batch_size=1 << 16,
-                                      batch_format="pyarrow")])
-    ids = sig_table[ccfg.id_col].to_pylist()
-    sig_ref = ray.put((ids, sig_matrix(sig_table)))
-
-    # caption tier (shuffle 2): broadcast-signature verification
-    cap_edges = candidate_pairs(sigs, ccfg).map_batches(
-        make_broadcast_verifier(sig_ref, ccfg.threshold),
-        batch_format="pyarrow", batch_size=1 << 16) \
-        .select_columns(["a", "b"])
+    # caption tier (shuffle 2): bands → pairs → verify → edges.
+    # Verification side data is broadcast while the signature table is
+    # small (one driver collect + ray.put, worker-cached) and an
+    # explicit two-sided hash join above broadcast_limit — the driver
+    # never holds an unbounded table.
+    pairs = candidate_pairs(sigs, ccfg)
+    if n_reps <= ccfg.broadcast_limit:
+        sig_table = pa.concat_tables(
+            [b for b in sigs.select_columns([ccfg.id_col, "sig"])
+             .iter_batches(batch_size=1 << 16, batch_format="pyarrow")])
+        cap_edges = verify_pairs_broadcast(pairs, sig_table, ccfg) \
+            .select_columns(["a", "b"])
+    else:
+        cap_edges = verify_pairs_join(pairs, sigs, ccfg) \
+            .select_columns(["a", "b"])
     # image tier (shuffle 3): codes travel WITH the band rows (8
     # bytes/row) and Hamming is verified inside each bucket — no
     # candidate-pair blowup, no broadcast, no separate verify stage

@@ -395,7 +395,7 @@ def q_ngram_jaccard(sf_dir: str):
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        cap_a = pc.utf8_trim_whitespace(texts)
+        cap_a = pc.utf8_trim(texts, " ")  # = SQL trim(): ASCII space only
         cap_b = pc.replace_substring_regex(cap_a, pattern=" [^ ]*$",
                                            replacement="")
         fa, oa = unique_per_row(*shingle_hashes(cap_a, k=1))

@@ -100,9 +100,11 @@ def make_variants(batch: pa.Table, copies: int = 3, with_bytes: bool = True) -> 
     """
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(doc_ids)
-    base_cap = pc.utf8_trim_whitespace(
+    # utf8_trim(' ') matches DuckDB trim() (ASCII space only) so the
+    # CORPUS_SQL oracle twin stays exact on text with tab/newline edges
+    base_cap = pc.utf8_trim(
         batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray)
-        else batch["text"])
+        else batch["text"], " ")
     near_cap = pc.replace_substring_regex(base_cap, pattern=" [^ ]*$",
                                           replacement="")
     # interleave doc-major: position d*copies + v  <-  variant-major v*n + d

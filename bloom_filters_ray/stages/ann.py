@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import DEFAULT_SEED
-from .neardup import _cached_broadcast
+from .neardup import _cached_broadcast, lookup_positions
 
 
 def embedding_matrix(col, dim: int | None = None) -> np.ndarray:
@@ -60,7 +60,7 @@ def make_block_topk_fn(query_ref, k: int, id_col: str = "vec_id",
 
     def fn(batch: pa.Table) -> pa.Table:
         q_ids, Q = _cached_broadcast(query_ref)  # Q: (q, d) normalized
-        q_id_arr = np.asarray(list(q_ids), dtype=np.int64)
+        q_id_arr = np.asarray(q_ids, dtype=np.int64)
         E = normalize_rows(embedding_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = E @ Q.T  # (b, q)
@@ -153,11 +153,9 @@ def make_cosine_verifier(emb_ref, threshold: float, id_col: str = "vec_id"):
     exact cosine >= threshold, via broadcast (ids, normalized matrix)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        index, En = _cached_broadcast(emb_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        ia = np.array([index[x] for x in a], dtype=np.int64)
-        ib = np.array([index[x] for x in b], dtype=np.int64)
+        sorted_ids, En = _cached_broadcast(emb_ref)
+        ia = lookup_positions(sorted_ids, batch["a"])
+        ib = lookup_positions(sorted_ids, batch["b"])
         sim = np.einsum("ij,ij->i", En[ia], En[ib])
         keep = sim >= threshold
         out = batch.filter(pa.array(keep))

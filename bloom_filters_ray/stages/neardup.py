@@ -71,10 +71,24 @@ def sig_matrix(table: pa.Table, sig_col: str = "sig") -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-        buf = np.frombuffer(col.buffers()[2], dtype="<i8")
         n = len(col)
-        return buf[: n * (len(buf) // n)].reshape(n, -1) if n else \
-            buf.reshape(0, 0)
+        if n == 0:
+            return np.empty((0, 0), dtype=np.int64)
+        # Row width comes from the OFFSETS buffer (offsets[1]-offsets[0]),
+        # honoring the array offset — the data buffer may carry 64-byte
+        # padding or a leading slice offset, so len(buf)//n is wrong for
+        # some (k, n) combinations (e.g. k=30).
+        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+            col.offset : col.offset + n + 1].astype(np.int64)
+        widths = np.diff(offs)
+        if not (widths == widths[0]).all():
+            raise ValueError("ragged binary signature column")
+        k = int(widths[0]) // 8
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        start = int(offs[0])
+        return np.ascontiguousarray(
+            data[start : start + n * k * 8]).view("<i8").reshape(n, k)
     k = col.type.list_size
     return np.asarray(col.values, dtype=np.int64).reshape(-1, k)
 
@@ -240,18 +254,39 @@ _WORKER_CACHE: dict = {}
 
 
 def _cached_broadcast(sig_ref):
-    """Worker-process-local cache of the broadcast signature lookup —
-    fetched once per worker (plasma shared memory), reused across tasks."""
+    """Worker-process-local cache of the broadcast (ids, matrix) lookup —
+    fetched once per worker (plasma shared memory), presorted by id so
+    per-batch lookups are one vectorized ``np.searchsorted`` instead of
+    a Python dict loop."""
     key = sig_ref.hex() if hasattr(sig_ref, "hex") else id(sig_ref)
     hit = _WORKER_CACHE.get(key)
     if hit is None:
         import ray
 
         ids, sigs = ray.get(sig_ref)
-        hit = ({i: j for j, i in enumerate(ids)}, sigs)
+        ids_np = np.asarray(ids)  # list[str] → <U dtype, ints → int64
+        order = np.argsort(ids_np, kind="stable")
+        hit = (ids_np[order], sigs[order])
         _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = hit
     return hit
+
+
+def lookup_positions(sorted_ids: np.ndarray, col) -> np.ndarray:
+    """Vectorized id → row-position lookup against a sorted id array
+    (the second half of the broadcast-verification fast path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    keys = col.to_numpy(zero_copy_only=False)
+    if sorted_ids.dtype.kind in "US":
+        keys = np.asarray(keys, dtype=str)
+    else:
+        keys = keys.astype(sorted_ids.dtype, copy=False)
+    pos = np.searchsorted(sorted_ids, keys)
+    pos = np.minimum(pos, len(sorted_ids) - 1)
+    if len(keys) and not (sorted_ids[pos] == keys).all():
+        raise KeyError("id missing from broadcast lookup table")
+    return pos
 
 
 def make_broadcast_verifier(sig_ref, threshold: float):
@@ -264,11 +299,9 @@ def make_broadcast_verifier(sig_ref, threshold: float):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        index, sigs = _cached_broadcast(sig_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        ia = np.array([index[x] for x in a], dtype=np.int64)
-        ib = np.array([index[x] for x in b], dtype=np.int64)
+        sorted_ids, sigs = _cached_broadcast(sig_ref)
+        ia = lookup_positions(sorted_ids, batch["a"])
+        ib = lookup_positions(sorted_ids, batch["b"])
         sim = (sigs[ia] == sigs[ib]).mean(axis=1)
         keep = sim >= threshold
         out = batch.filter(pa.array(keep))

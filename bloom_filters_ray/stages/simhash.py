@@ -275,14 +275,12 @@ def make_hamming_verifier(code_ref, max_distance: int,
     """map_batches fn over candidate (a, b) pairs: keep pairs whose
     codes are within *max_distance* Hamming bits, using a broadcast
     (ids, codes) lookup (``ray.put`` once; cached per worker)."""
-    from .neardup import _cached_broadcast
+    from .neardup import _cached_broadcast, lookup_positions
 
     def fn(batch: pa.Table) -> pa.Table:
-        index, codes = _cached_broadcast(code_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        ia = np.array([index[x] for x in a], dtype=np.int64)
-        ib = np.array([index[x] for x in b], dtype=np.int64)
+        sorted_ids, codes = _cached_broadcast(code_ref)
+        ia = lookup_positions(sorted_ids, batch["a"])
+        ib = lookup_positions(sorted_ids, batch["b"])
         dist = hamming64(codes[ia], codes[ib])
         keep = dist <= max_distance
         out = batch.filter(pa.array(keep))

@@ -52,3 +52,23 @@ class TestFullPipeline:
         df, _ = full_result
         mins = df.groupby("cluster_id")["image_id"].min()
         assert (mins.index == mins.values).all()
+
+
+class TestJoinVerificationPath:
+    def test_join_path_bit_equal_to_broadcast(self, full_result, ray_session):
+        """broadcast_limit=0 forces the hash-join verification fallback;
+        assignments must be bit-equal to the broadcast fast path."""
+        from bloom_filters_ray.pipelines.dedup import DedupConfig
+        from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                      full_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        df_b, _ = full_result
+        cfg = FullDedupConfig(caption=DedupConfig(broadcast_limit=0))
+        ds = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "caption", "phash"])
+        assignments, _ = full_dedup_pipeline(ds, cfg)
+        a = df_b.sort_values("image_id").reset_index(drop=True)
+        b = assignments.to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
+        assert a.equals(b)

@@ -198,3 +198,27 @@ class TestJoinVerificationPath:
         d1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
         d2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
         assert d1.equals(d2)
+
+
+class TestSigMatrixBinary:
+    """Regression: the binary branch must derive row width from the
+    offsets buffer and honor the array offset — raw-data-buffer width
+    inference breaks on slices / padded acero join output."""
+
+    def test_roundtrip_and_sliced_view(self):
+        from bloom_filters_ray.stages.neardup import sig_to_binary_fn
+
+        k, n = 30, 7  # bands*rows_per_band=30: 240 B/row, pad-hostile
+        m = np.arange(n * k, dtype="<i8").reshape(n, k)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), type=pa.int64()), k)
+        t = pa.table({"id": pa.array(np.arange(n)), "sig": sig_col})
+        tb = sig_to_binary_fn()(t)
+        assert (sig_matrix(tb, "sig") == m).all()
+        sl = tb.slice(2, 4)  # nonzero array offset
+        assert (sig_matrix(sl, "sig") == m[2:6]).all()
+
+    def test_ragged_binary_rejected(self):
+        t = pa.table({"sig": pa.array([b"12345678", b"1234567812345678"])})
+        with pytest.raises(ValueError):
+            sig_matrix(t, "sig")

@@ -243,3 +243,45 @@ dedup_pipeline(ds, DedupConfig(checkpoint_dir={str(ckpt)!r}))
         # the exact-stage checkpoint was REUSED, not rewritten
         assert mpath.stat().st_mtime == mtime_before
         assert json.loads(mpath.read_text())["rows"] == rows_before
+
+
+class TestCheckpointHardening:
+    def test_stale_partial_stage_dir_is_cleared(self, ray_session, tmp_path):
+        """Crashed mid-write (stage dir without _SUCCESS, stale parquet
+        inside) -> the resumed run clears the dir instead of writing new
+        files alongside, so no duplicated rows."""
+        import shutil
+
+        from bloom_filters_ray.pipelines.dedup import (DedupConfig,
+                                                       dedup_pipeline)
+
+        cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+        a1, _ = dedup_pipeline(_corpus(ray_session), cfg)
+        df1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
+        os.remove(tmp_path / "exact" / "_SUCCESS")
+        frag = next(p for p in (tmp_path / "exact").iterdir()
+                    if p.suffix == ".parquet")
+        stale = tmp_path / "exact" / "zz_stale_partial.parquet"
+        shutil.copy(frag, stale)
+        a2, _ = dedup_pipeline(_corpus(ray_session), cfg)
+        df2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert not stale.exists()
+        assert df1.equals(df2)
+
+    def test_config_change_invalidates_checkpoint(self, ray_session, tmp_path):
+        """A resumed run under a changed DedupConfig must not silently
+        reuse checkpoints computed under the old config."""
+        import json
+
+        from bloom_filters_ray.pipelines.dedup import (DedupConfig,
+                                                       dedup_pipeline)
+
+        dedup_pipeline(_corpus(ray_session),
+                       DedupConfig(checkpoint_dir=str(tmp_path)))
+        with open(tmp_path / "sigs" / "_METRICS.json") as f:
+            assert json.load(f)["config"]["threshold"] == 0.8
+        dedup_pipeline(_corpus(ray_session),
+                       DedupConfig(checkpoint_dir=str(tmp_path),
+                                   threshold=0.9))
+        with open(tmp_path / "sigs" / "_METRICS.json") as f:
+            assert json.load(f)["config"]["threshold"] == 0.9
