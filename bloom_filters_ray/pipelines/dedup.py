@@ -180,19 +180,32 @@ def connected_components(edges_iter) -> dict:
     return uf.components()
 
 
+def _comp_arrays(comp: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Component map → (sorted key array, value array) for vectorized
+    searchsorted lookups inside workers."""
+    ks = np.asarray(list(comp.keys()))
+    vs = np.asarray(list(comp.values()))
+    order = np.argsort(ks, kind="stable")
+    return ks[order], vs[order]
+
+
 def assign_clusters(exact_ds, comp_map: dict, cfg: DedupConfig):
     """exact-tier output + component map → (id, rep_id, is_rep, cluster_id)."""
     import ray
 
-    ref = ray.put(comp_map)
+    from ..stages.neardup import map_values_with_identity
+
+    ref = ray.put(_comp_arrays(comp_map))
 
     def fn(batch: pa.Table) -> pa.Table:
-        comp = _get_cached_map(ref)
-        reps = batch["rep_id"].to_pylist()
-        cluster = [comp.get(r, r) for r in reps]
+        ks, vs = _get_cached_map(ref)
+        reps = batch["rep_id"]
+        if isinstance(reps, pa.ChunkedArray):
+            reps = reps.combine_chunks()
+        cluster = map_values_with_identity(ks, vs, reps)
         out = batch.select([cfg.id_col, "rep_id", "is_rep"])
         return out.append_column("cluster_id",
-                                 pa.array(cluster, type=batch["rep_id"].type))
+                                 pa.array(cluster, type=reps.type))
 
     return exact_ds.map_batches(fn, batch_format="pyarrow")
 

@@ -5,7 +5,11 @@ connected components.
 Same skeleton and shuffle discipline as the phash tier
 (pipelines/imagededup.py): only (band_key, id) rows shuffle; the
 verification side data is a broadcast (id, normalized-vector) lookup
-(scale path: hash join against the embedding table instead).
+below ``broadcast_limit`` and a two-sided hash join of the candidate
+pairs against the (id, normalized-vec binary) table above it, so the
+driver never materializes the embedding table. Final assignment is a
+distributed map with a broadcast component map (bounded by the
+verified-duplicate set, not the corpus).
 
 Angular LSH property: cos(v, w) = c ⇒ each of the 64 projection bits
 flips with probability arccos(c)/π, so near-dups (c ≥ 0.99 ⇒ p ≈
@@ -40,6 +44,10 @@ class EmbDedupConfig:
     max_bucket: int = 128
     seed: int = DEFAULT_SEED
     num_partitions: int | None = None
+    # rows; above this, verification switches from the broadcast
+    # normalized-matrix fast path to a two-sided hash join against the
+    # (id, normalized-vec binary) table — no driver collect
+    broadcast_limit: int = 2_000_000
 
     def partitions(self) -> int:
         if self.num_partitions is not None:
@@ -72,16 +80,35 @@ def embedding_dedup_pipeline(ds, cfg: EmbDedupConfig | None = None):
     pairs = pairs.map_batches(dedupe_pairs_block, batch_format="pyarrow",
                               batch_size=None)
 
-    # broadcast normalized embedding lookup (sandbox-scale side data)
-    tbl = pa.concat_tables([b for b in ds.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")])
-    En = normalize_rows(embedding_matrix(tbl[cfg.emb_col], cfg.dim))
-    ref = ray.put((tbl[cfg.id_col].to_pylist(), En))
+    n_input = ds.count()
+    if n_input <= cfg.broadcast_limit:
+        # broadcast normalized embedding lookup (small-side fast path)
+        tbl = pa.concat_tables([b for b in ds.iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow")])
+        En = normalize_rows(embedding_matrix(tbl[cfg.emb_col], cfg.dim))
+        ref = ray.put((tbl[cfg.id_col].to_pylist(), En))
+        edges = pairs.map_batches(
+            make_cosine_verifier(ref, cfg.threshold, cfg.id_col),
+            batch_format="pyarrow", batch_size=1 << 16)
+    else:
+        # scale path: two-sided hash join pairs ⋈ (id, normalized-vec
+        # binary) — the driver never holds the embedding table
+        from ..stages.ann import make_norm_vec_binary_fn, verify_cosine_block
 
-    edges = pairs.map_batches(
-        make_cosine_verifier(ref, cfg.threshold, cfg.id_col),
-        batch_format="pyarrow", batch_size=1 << 16)
+        vecs = ds.map_batches(
+            make_norm_vec_binary_fn(cfg.id_col, cfg.emb_col, cfg.dim),
+            batch_format="pyarrow")
+        j1 = pairs.join(vecs, "inner", cfg.partitions(),
+                        on=("a",), right_on=(cfg.id_col,)) \
+            .rename_columns({"vec": "vec_a"})
+        j2 = j1.join(vecs, "inner", cfg.partitions(),
+                     on=("b",), right_on=(cfg.id_col,)) \
+            .rename_columns({"vec": "vec_b"})
+        edges = j2.map_batches(
+            lambda t: verify_cosine_block(t, cfg.threshold),
+            batch_format="pyarrow")
 
+    # union-find state is bounded by the verified-duplicate set
     uf = UnionFind()
     n_edges = 0
     for batch in edges.select_columns(["a", "b"]).iter_batches(
@@ -91,14 +118,27 @@ def embedding_dedup_pipeline(ds, cfg: EmbDedupConfig | None = None):
             uf.union(x, y)
     comp = uf.components()
 
-    ids = tbl[cfg.id_col].to_pylist()
-    cluster = [comp.get(i, i) for i in ids]
-    assignments = pa.table({
-        cfg.id_col: tbl[cfg.id_col],
-        "cluster_id": pa.array(cluster, type=tbl[cfg.id_col].type),
-    })
+    # distributed assignment: broadcast the (small) component map and
+    # label the id column per batch — no driver-held embedding table
+    from ..stages.neardup import map_values_with_identity
+    from .dedup import _comp_arrays, _get_cached_map
+
+    ref2 = ray.put(_comp_arrays(comp))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ks, vs = _get_cached_map(ref2)
+        ids = batch[cfg.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        cluster = map_values_with_identity(ks, vs, ids)
+        return pa.Table.from_arrays(
+            [ids, pa.array(cluster, type=ids.type)],
+            names=[cfg.id_col, "cluster_id"])
+
+    assignments = ds.select_columns([cfg.id_col]).map_batches(
+        assign, batch_format="pyarrow")
     stats = {
-        "n_input": len(ids),
+        "n_input": n_input,
         "n_edges": n_edges,
         "n_dup_ids_in_components": len(comp),
         "n_components": len(set(comp.values())),

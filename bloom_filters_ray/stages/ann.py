@@ -148,6 +148,42 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return _PLANES[key]
 
 
+def make_norm_vec_binary_fn(id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            dim: int | None = None):
+    """map_batches fn: (id, embedding list<float>) → (id, vec binary):
+    row-normalized float64 vectors as fixed-width binary payloads (8d
+    bytes/row) that ride through Arrow hash joins — the scale-path twin
+    of the broadcast matrix (acero joins reject list non-key fields)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        En = normalize_rows(embedding_matrix(batch[emb_col], dim))
+        n, d = En.shape
+        data = pa.py_buffer(np.ascontiguousarray(En, dtype="<f8").tobytes())
+        offsets = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * (d * 8)).tobytes())
+        arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays([ids, arr], names=[id_col, "vec"])
+
+    return fn
+
+
+def verify_cosine_block(batch: pa.Table, threshold: float) -> pa.Table:
+    """Verify candidate pairs when both sides' normalized vectors are
+    already columns (post-join layout: vec_a, vec_b binary)."""
+    from .neardup import sig_matrix
+
+    va = sig_matrix(batch, "vec_a", dtype="<f8")
+    vb = sig_matrix(batch, "vec_b", dtype="<f8")
+    sim = np.einsum("ij,ij->i", va, vb) if len(va) else np.empty(0)
+    keep = sim >= threshold
+    out = batch.select(["a", "b"]).filter(pa.array(keep))
+    return out.append_column("sim", pa.array(sim[keep]))
+
+
 def make_cosine_verifier(emb_ref, threshold: float, id_col: str = "vec_id"):
     """map_batches fn over candidate (a, b) pairs: keep pairs with
     exact cosine >= threshold, via broadcast (ids, normalized matrix)."""

@@ -63,17 +63,21 @@ def make_signature_fn(id_col: str = "image_id", text_col: str = "caption",
     return fn
 
 
-def sig_matrix(table: pa.Table, sig_col: str = "sig") -> np.ndarray:
-    """Zero-copy-ish (n, k) int64 view of a signature column — either
+def sig_matrix(table: pa.Table, sig_col: str = "sig",
+               dtype: str = "<i8") -> np.ndarray:
+    """Zero-copy-ish (n, k) view of a fixed-width vector column — either
     the FixedSizeList layout or the binary encoding used through hash
-    joins (Arrow acero rejects fixed_size_list non-key fields)."""
+    joins (Arrow acero rejects fixed_size_list non-key fields). *dtype*
+    applies to the binary branch ("<i8" MinHash sigs, "<f8" normalized
+    embeddings)."""
     col = table[sig_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        item = np.dtype(dtype).itemsize
         n = len(col)
         if n == 0:
-            return np.empty((0, 0), dtype=np.int64)
+            return np.empty((0, 0), dtype=dtype)
         # Row width comes from the OFFSETS buffer (offsets[1]-offsets[0]),
         # honoring the array offset — the data buffer may carry 64-byte
         # padding or a leading slice offset, so len(buf)//n is wrong for
@@ -84,11 +88,11 @@ def sig_matrix(table: pa.Table, sig_col: str = "sig") -> np.ndarray:
         widths = np.diff(offs)
         if not (widths == widths[0]).all():
             raise ValueError("ragged binary signature column")
-        k = int(widths[0]) // 8
+        k = int(widths[0]) // item
         data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
         start = int(offs[0])
         return np.ascontiguousarray(
-            data[start : start + n * k * 8]).view("<i8").reshape(n, k)
+            data[start : start + n * k * item]).view(dtype).reshape(n, k)
     k = col.type.list_size
     return np.asarray(col.values, dtype=np.int64).reshape(-1, k)
 
@@ -287,6 +291,26 @@ def lookup_positions(sorted_ids: np.ndarray, col) -> np.ndarray:
     if len(keys) and not (sorted_ids[pos] == keys).all():
         raise KeyError("id missing from broadcast lookup table")
     return pos
+
+
+def map_values_with_identity(sorted_keys: np.ndarray, values: np.ndarray,
+                             col) -> np.ndarray:
+    """Vectorized ``{k: v}.get(x, x)`` over a column against a sorted
+    key array — the assignment-map twin of ``lookup_positions``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    keys = col.to_numpy(zero_copy_only=False)
+    if len(sorted_keys) == 0 or len(keys) == 0:
+        return keys
+    if sorted_keys.dtype.kind in "US":
+        keys = np.asarray(keys, dtype=str)
+    else:
+        keys = keys.astype(sorted_keys.dtype, copy=False)
+    pos = np.minimum(np.searchsorted(sorted_keys, keys),
+                     len(sorted_keys) - 1)
+    hit = sorted_keys[pos] == keys
+    # np.where promotes to the wider string dtype of the two sides
+    return np.where(hit, values[pos], keys)
 
 
 def make_broadcast_verifier(sig_ref, threshold: float):

@@ -177,3 +177,21 @@ class TestImageSimHash:
         # different docs: far apart on average
         far = hamming64(c0, np.roll(c0, 1))
         assert np.median(far) > np.median(near) + 8
+
+
+class TestEmbJoinPath:
+    def test_join_path_bit_equal_to_broadcast(self, ray_session):
+        """broadcast_limit=0 forces the hash-join cosine verification;
+        assignments must be bit-equal to the broadcast fast path."""
+        from bloom_filters_ray.pipelines.embdedup import (
+            EmbDedupConfig, embedding_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import embedding_corpus
+
+        a1, s1 = embedding_dedup_pipeline(embedding_corpus(SF),
+                                          EmbDedupConfig())
+        a2, s2 = embedding_dedup_pipeline(embedding_corpus(SF),
+                                          EmbDedupConfig(broadcast_limit=0))
+        d1 = a1.to_pandas().sort_values("emb_id").reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values("emb_id").reset_index(drop=True)
+        assert d1.equals(d2)
+        assert s1["n_components"] == s2["n_components"]
