@@ -319,27 +319,50 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
         edges = verify_pairs_join(pairs, sigs, cfg)
     if cfg.cc == "distributed":
         # scale path: large/small-star contraction keeps components as
-        # edge rows; the label table is collected only for assignment
-        # (swap for a hash join when components outgrow the driver)
+        # edge rows; assignment is a left-outer hash join of the exact
+        # tier against the label Dataset — nothing lands on the driver
+        import pyarrow.compute as pc
+
         from ..stages.cc import connected_components_distributed
 
         labels = connected_components_distributed(
-            edges.select_columns(["a", "b"]), cfg.partitions())
-        comp = {}
-        n_edges = -1  # not counted on this path
-        for batch in labels.iter_batches(batch_size=1 << 16,
-                                         batch_format="pyarrow"):
-            comp.update(zip(batch["image_id"].to_pylist(),
-                            batch["cluster_id"].to_pylist()))
-    else:
-        n_edges = 0
-        comp_uf = UnionFind()
-        for batch in edges.select_columns(["a", "b"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"):
-            n_edges += len(batch)
-            for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-                comp_uf.union(x, y)
-        comp = comp_uf.components()
+            edges.select_columns(["a", "b"]), cfg.partitions()) \
+            .rename_columns({"image_id": "cc_node",
+                             "cluster_id": "cc_root"}).materialize()
+        n_dup = labels.count()
+        n_components = labels.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.cast(pc.equal(t["cc_node"], t["cc_root"]),
+                                    pa.int64())).as_py() or 0)])}),
+            batch_format="pyarrow").sum("n") or 0
+        joined = exact.select_columns([cfg.id_col, "rep_id", "is_rep"]) \
+            .join(labels, "left_outer", cfg.partitions(),
+                  on=("rep_id",), right_on=("cc_node",))
+
+        def finalize_assign(batch: pa.Table) -> pa.Table:
+            root = pc.coalesce(batch["cc_root"], batch["rep_id"])
+            out = batch.select([cfg.id_col, "rep_id", "is_rep"])
+            return out.append_column("cluster_id", root)
+
+        assignments = joined.map_batches(finalize_assign,
+                                         batch_format="pyarrow")
+        stats = {
+            "n_input": n_input,
+            "n_unique_captions": n_sigs,
+            "n_edges": -1,  # not counted on this path
+            "n_dup_ids_in_components": n_dup,
+            "n_components": n_components,
+        }
+        return assignments, stats
+
+    n_edges = 0
+    comp_uf = UnionFind()
+    for batch in edges.select_columns(["a", "b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        n_edges += len(batch)
+        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            comp_uf.union(x, y)
+    comp = comp_uf.components()
 
     # execution 4 (no shuffle): final assignment
     assignments = assign_clusters(exact, comp, cfg)

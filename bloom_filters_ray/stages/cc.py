@@ -10,7 +10,8 @@ by an edge, which is fine while the duplicate set fits on the driver;
 star contraction keeps everything as (u, v) edge rows with per-round
 shuffles and converges in O(log n) rounds to edges (node, root) where
 root = min id of the component — the same deterministic labels the
-union-find produces.
+union-find produces. Prefer ``DedupConfig(cc="distributed")`` whenever
+the verified edge set may outgrow one driver.
 
 Rounds:
 - large-star: group BOTH orientations by u; m = min(N(u) ∪ {u});
@@ -18,26 +19,41 @@ Rounds:
 - small-star: group the v<u orientation by u; m = min(N(u) ∪ {u});
   emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
 
+Vectorization: ids are dictionary-encoded to int64 codes PER BLOCK
+(sorted-rank codes, so code order == value order within the block);
+group mins are ``np.minimum.reduceat`` over the sorted code array and
+emission is boolean masking — no Python loop touches rows. Codes
+decode back to values on emit, so blocks stay self-contained and no
+global dictionary (itself a shuffle) is needed.
+
 Convergence test: the (count, xor-of-pair-hashes) fingerprint of the
 edge set is stable across a round — an order-insensitive O(1)-state
-aggregate, no driver materialization of edges.
+``AggregateFnV2``, so no driver materialization of edges anywhere.
 """
 
 from __future__ import annotations
 
+import pickle
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import xxh64_arrow
 
+try:  # Ray is optional at import time (pure-library use)
+    from ray.data.aggregate import AggregateFnV2
+except ImportError:  # pragma: no cover
+    AggregateFnV2 = object  # type: ignore
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
 
 def _pair_fingerprint(batch: pa.Table) -> tuple[int, int]:
-    a = batch["a"]
-    b = batch["b"]
-    if isinstance(a, pa.ChunkedArray):
-        a = a.combine_chunks()
-    if isinstance(b, pa.ChunkedArray):
-        b = b.combine_chunks()
+    a = _combine(batch["a"])
+    b = _combine(batch["b"])
     ha = xxh64_arrow(a, 11)
     hb = xxh64_arrow(b, 23)
     mixed = ha * np.uint64(0x9E3779B185EBCA87) ^ hb
@@ -45,77 +61,119 @@ def _pair_fingerprint(batch: pa.Table) -> tuple[int, int]:
     return len(batch), int(x)
 
 
+class EdgeFingerprintAgg(AggregateFnV2):
+    """Order-insensitive (count, xor-of-pair-hashes) fingerprint of an
+    (a, b) edge Dataset: O(1) state per block, tree combine — the
+    convergence probe runs without streaming edges to the driver."""
+
+    def __init__(self, name: str = "fp"):
+        super().__init__(name, lambda: None, on=None, ignore_nulls=False)
+
+    def aggregate_block(self, block):
+        if not isinstance(block, pa.Table):
+            block = pa.table(block)
+        return _pair_fingerprint(block)
+
+    def combine(self, cur, new):
+        if cur is None:
+            return new
+        if new is None:
+            return cur
+        return (cur[0] + new[0], cur[1] ^ new[1])
+
+    def finalize(self, acc):
+        return pickle.dumps(acc if acc is not None else (0, 0))
+
+
+def edge_fingerprint(edges_ds) -> tuple[int, int]:
+    res = edges_ds.aggregate(EdgeFingerprintAgg())
+    val = res.get("fp") if res else None
+    return pickle.loads(val) if val is not None else (0, 0)
+
+
+def _encode_pair(u: pa.Array, v: pa.Array):
+    """Block-local dictionary encoding of two same-typed id columns →
+    (ucodes, vcodes, sorted_dictionary). Codes are sorted ranks, so
+    ``code_x < code_y  ⟺  x < y`` within the block — min-id semantics
+    survive the encoding. Integer ids pass through (dictionary None)."""
+    if pa.types.is_integer(u.type):
+        return (u.to_numpy(zero_copy_only=False).astype(np.int64),
+                v.to_numpy(zero_copy_only=False).astype(np.int64), None)
+    combined = pa.concat_arrays([u, v])
+    denc = combined.dictionary_encode()
+    codes = np.asarray(denc.indices).astype(np.int64)
+    dvals = denc.dictionary
+    sort_idx = np.asarray(pc.array_sort_indices(dvals)).astype(np.int64)
+    rank = np.empty(len(dvals), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(dvals), dtype=np.int64)
+    rcodes = rank[codes]
+    n = len(u)
+    return rcodes[:n], rcodes[n:], dvals.take(pa.array(sort_idx))
+
+
+def _decode(svals, codes: np.ndarray) -> pa.Array:
+    if svals is None:
+        return pa.array(codes)
+    return svals.take(pa.array(codes))
+
+
 def _star_block(mode: str):
-    """Whole-block fn over rows (u, v) hash-partitioned by u."""
+    """Whole-block fn over rows (u, v) hash-partitioned by u — fully
+    vectorized: sorted-rank codes, reduceat group mins, mask emission."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        u = np.asarray(batch["u"].to_pylist(), dtype=object)
-        v = np.asarray(batch["v"].to_pylist(), dtype=object)
-        if len(u) == 0:
-            t = pa.array([], type=pa.string())
-            return pa.Table.from_arrays([t, t], names=["a", "b"])
-        order = np.argsort(u, kind="stable")
-        us, vs = u[order], v[order]
-        bounds = np.flatnonzero(us[1:] != us[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(us)]))
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            uu = us[s]
-            nbrs = vs[s:e]
-            m = min(nbrs.min(), uu)
-            if mode == "large":
-                big = nbrs[nbrs > uu]
-                out_a.append(big)
-                out_b.append(np.full(len(big), m, dtype=object))
-            else:  # small-star: neighbors all < u by construction
-                keep = nbrs[nbrs != m]
-                out_a.append(keep)
-                out_b.append(np.full(len(keep), m, dtype=object))
-                if uu != m:
-                    out_a.append(np.array([uu], dtype=object))
-                    out_b.append(np.array([m], dtype=object))
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=object)
-        b = np.concatenate(out_b) if out_b else np.array([], dtype=object)
-        # drop self-loops and block-local duplicates
-        if len(a):
-            mask = a != b
-            a, b = a[mask], b[mask]
-        if len(a):
-            order = np.lexsort((b, a))
-            a, b = a[order], b[order]
+        u = _combine(batch["u"])
+        v = _combine(batch["v"])
+        n = len(u)
+        if n == 0:
+            return pa.Table.from_arrays([u, v], names=["a", "b"])
+        ucodes, vcodes, svals = _encode_pair(u, v)
+        order = np.argsort(ucodes, kind="stable")
+        us, vs = ucodes[order], vcodes[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        u_g = us[starts]
+        m_g = np.minimum(np.minimum.reduceat(vs, starts), u_g)
+        m_row = m_g[gid]
+        if mode == "large":
+            keep = vs > us
+            a, b = vs[keep], m_row[keep]
+        else:  # small-star: neighbors all < u by construction
+            keep = vs != m_row
+            extra = u_g != m_g
+            a = np.concatenate([vs[keep], u_g[extra]])
+            b = np.concatenate([m_row[keep], m_g[extra]])
+        mask = a != b  # self-loops
+        a, b = a[mask], b[mask]
+        if len(a):  # block-local dedupe
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
             new = np.ones(len(a), dtype=bool)
             new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
             a, b = a[new], b[new]
         return pa.Table.from_arrays(
-            [pa.array(list(a), type=pa.string()),
-             pa.array(list(b), type=pa.string())], names=["a", "b"])
+            [_decode(svals, a), _decode(svals, b)], names=["a", "b"])
 
     return fn
 
 
 def _directed(both: bool):
     """(a, b) edges → (u, v) rows: both orientations (large-star) or
-    only the larger-endpoint orientation (small-star)."""
+    only the larger-endpoint orientation (small-star). Arrow kernels
+    only — no Python per-row work."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        a = batch["a"]
-        b = batch["b"]
-        if isinstance(a, pa.ChunkedArray):
-            a = a.combine_chunks()
-        if isinstance(b, pa.ChunkedArray):
-            b = b.combine_chunks()
+        a = _combine(batch["a"])
+        b = _combine(batch["b"])
         if both:
             u = pa.concat_arrays([a, b])
             v = pa.concat_arrays([b, a])
         else:
-            an = np.asarray(a.to_pylist(), dtype=object)
-            bn = np.asarray(b.to_pylist(), dtype=object)
-            swap = bn > an  # orient so u = max endpoint, v = min
-            uu = np.where(swap, bn, an)
-            vv = np.where(swap, an, bn)
-            u = pa.array(list(uu), type=pa.string())
-            v = pa.array(list(vv), type=pa.string())
+            swap = pc.greater(b, a)  # orient so u = max endpoint
+            u = pc.if_else(swap, b, a)
+            v = pc.if_else(swap, a, b)
         return pa.Table.from_arrays([u, v], names=["u", "v"])
 
     return fn
@@ -138,41 +196,37 @@ def connected_components_distributed(edges_ds, num_partitions: int = 8,
         d = d.repartition(num_partitions, keys=["u"])
         edges = d.map_batches(_star_block("small"), batch_format="pyarrow",
                               batch_size=None).materialize()
-        n, x = 0, 0
-        for batch in edges.iter_batches(batch_size=1 << 16,
-                                        batch_format="pyarrow"):
-            c, h = _pair_fingerprint(batch)
-            n += c
-            x ^= h
-        fp = (n, x)
+        fp = edge_fingerprint(edges)
         if fp == prev_fp:
             break
         prev_fp = fp
     # converged: every edge is (node, root); emit roots as their own
     # cluster members too
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [batch["a"], batch["b"]], names=["image_id", "cluster_id"])
-
-    members = edges.map_batches(finalize, batch_format="pyarrow")
+    members = edges.map_batches(
+        lambda t: pa.Table.from_arrays([t["a"], t["b"]],
+                                       names=["image_id", "cluster_id"]),
+        batch_format="pyarrow")
     roots = edges.select_columns(["b"]) \
         .map_batches(lambda t: pa.Table.from_arrays(
             [t["b"], t["b"]], names=["image_id", "cluster_id"]),
             batch_format="pyarrow")
     out = members.union(roots)
-    # dedupe (roots repeat): keyed repartition + block dedupe
+    # dedupe (roots repeat): keyed repartition + vectorized block dedupe
     out = out.repartition(num_partitions, keys=["image_id"])
 
     def dedupe(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
-        cl = np.asarray(batch["cluster_id"].to_pylist(), dtype=object)
-        order = np.lexsort((cl, ids))
-        ids, cl = ids[order], cl[order]
-        new = np.ones(len(ids), dtype=bool)
-        new[1:] = ids[1:] != ids[:-1]
+        ids = _combine(batch["image_id"])
+        cl = _combine(batch["cluster_id"])
+        n = len(ids)
+        if n == 0:
+            return batch
+        icodes, ccodes, svals = _encode_pair(ids, cl)
+        o = np.lexsort((ccodes, icodes))
+        i_s, c_s = icodes[o], ccodes[o]
+        new = np.ones(n, dtype=bool)
+        new[1:] = i_s[1:] != i_s[:-1]
         return pa.Table.from_arrays(
-            [pa.array(list(ids[new]), type=pa.string()),
-             pa.array(list(cl[new]), type=pa.string())],
+            [_decode(svals, i_s[new]), _decode(svals, c_s[new])],
             names=["image_id", "cluster_id"])
 
     return out.map_batches(dedupe, batch_format="pyarrow", batch_size=None)
