@@ -455,20 +455,20 @@ def q_seenset_mark(sf_dir: str):
 
 
 def q_substring_dups(sf_dir: str):
-    """Exact-substring dedup (suffix-array pass) over unique captions:
-    contained=True iff the caption occurs inside another unique
-    caption. Single-partition scope (oracle scale); at cluster scale
-    partition by content-locality keys (stages/substring.py)."""
+    """Exact-substring dedup over unique captions: contained=True iff
+    the caption occurs inside another unique caption. Distributed via
+    winnowing-fingerprint content-locality bucketing (exact — the
+    winnowing theorem guarantees containee/container co-location; see
+    stages/substring.py), per-partition suffix-array passes, and a
+    broadcast probe for below-threshold short captions."""
+    from ..stages.substring import substring_flags_sharded
     from .dedup import exact_tier
 
     cfg = DedupConfig()
     ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
         ["image_id", "caption"])
     uniq = exact_tier(ds, cfg).filter(expr="is_rep == True")         .select_columns(["image_id", "caption"])
-    from ..stages.substring import make_substring_flag_fn
-
-    return uniq.repartition(1).map_batches(
-        make_substring_flag_fn(), batch_format="pyarrow", batch_size=None)
+    return substring_flags_sharded(uniq, num_partitions=cfg.partitions())
 
 
 def q_ann_topk(sf_dir: str):

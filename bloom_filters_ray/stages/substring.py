@@ -18,17 +18,26 @@ Method (per partition, vectorized):
    SA order, and no proper suffix of A can have prefix A (strictly
    shorter), so such a neighbour always lies in a different caption.
 
-Partitioning assumption at scale: containment is only detected within
-a partition. Run after the exact tier (dedup on equality), partition
-by a content-locality key (e.g. winnowing fingerprint buckets from
-stages/textstats.py) or accept per-shard semantics; the sandbox
-oracle uses one partition.
+Scale path (``substring_flags_sharded``): character-level winnowing
+fingerprints (Schleimer et al., SIGMOD'03) bucket the captions by
+content locality — any caption of length >= t = k + window - 1 bytes
+contained in another caption is GUARANTEED to share at least one
+selected fingerprint with its container (the winnowing theorem: every
+match of length >= t selects a common fingerprint in both texts), so
+a fingerprint-keyed repartition co-locates every (containee,
+container) pair and the per-partition suffix-array pass finds exactly
+the global containments. Captions shorter than t form a tiny
+broadcast side set probed against every block. Result is bit-equal to
+the single-partition pass.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import DEFAULT_SEED, xxh64_u64
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
@@ -150,6 +159,224 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
     # empty captions are substrings of any other caption
     contained[lens == 0] = m > 1
     return contained
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat utf-8 byte buffer, int64 per-row offsets) of a string
+    array, honoring the array offset."""
+    n = len(arr)
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + n + 1].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return buf, offs
+
+
+def char_winnow_fingerprints(captions: pa.Array, k: int = 8,
+                             window: int = 16, seed: int = DEFAULT_SEED,
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Character-level winnowing fingerprints per caption: XXH64 of
+    every k-byte gram of the utf-8 text, min of every *window*-length
+    gram window, distinct per row → (flat uint64 fps, int64 offsets).
+
+    Rows shorter than the guarantee threshold t = k + window - 1 bytes
+    emit nothing — they take the broadcast short path instead. k is
+    fixed at 8 so each gram is one little-endian uint64 read.
+    """
+    assert k == 8, "char grams are one uint64 read (k=8)"
+    from .shingle import _segmented_window_starts, unique_per_row
+
+    captions = _combine(captions)
+    n = len(captions)
+    buf, offs = _string_bytes(captions)
+    lens = np.diff(offs)
+    t = k + window - 1
+    counts = np.where(lens >= t, lens - (k - 1), 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    row_of = np.repeat(np.arange(n), counts)
+    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - first[row_of]
+    pos = offs[:-1][row_of] + within
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([buf, np.zeros(k - 1, dtype=np.uint8)]), k)
+    grams = np.ascontiguousarray(win[pos]).view("<u8").ravel()
+    gh = xxh64_u64(grams, seed)
+    gh_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    starts, wcounts = _segmented_window_starts(gh_off, window)
+    wmins = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([gh, np.full(window - 1, np.uint64(2**64 - 1))]),
+        window)[starts].min(axis=1)
+    w_off = np.concatenate(([0], np.cumsum(wcounts))).astype(np.int64)
+    return unique_per_row(wmins, w_off)
+
+
+def make_bucket_rows_fn(id_col: str = "image_id", text_col: str = "caption",
+                        k: int = 8, window: int = 16,
+                        seed: int = DEFAULT_SEED):
+    """map_batches fn: (id, caption) → (fingerprint int64, id, caption)
+    rows, one per distinct winnow fingerprint (~len/(window/2) per
+    caption — the caption text is replicated into its buckets; that
+    replication factor is the price of content-locality partitioning)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = _combine(batch[id_col])
+        caps = _combine(batch[text_col])
+        fps, off = char_winnow_fingerprints(caps, k, window, seed)
+        take = pa.array(np.repeat(np.arange(len(ids)), np.diff(off)))
+        return pa.Table.from_arrays(
+            [pa.array(fps.astype(np.int64)), ids.take(take), caps.take(take)],
+            names=["fingerprint", id_col, text_col])
+
+    return fn
+
+
+def make_bucket_flags_fn(id_col: str = "image_id",
+                         text_col: str = "caption"):
+    """Whole-block fn over fingerprint-partitioned (fp, id, caption)
+    rows: dedupe rows by id, run the suffix-array containment pass over
+    the block's captions, emit (id, contained_i=1) for positives only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = _combine(batch[id_col])
+        caps = _combine(batch[text_col])
+        if len(ids) == 0:
+            return pa.Table.from_arrays(
+                [ids, pa.array([], type=pa.int8())],
+                names=[id_col, "contained_i"])
+        codes = np.asarray(ids.dictionary_encode().indices).astype(np.int64)
+        _, first_idx = np.unique(codes, return_index=True)
+        sel = pa.array(np.sort(first_idx))
+        ids_u = ids.take(sel)
+        caps_u = caps.take(sel)
+        caps_b = [c.encode("utf-8") for c in caps_u.to_pylist()]
+        flags = substring_contained_flags(caps_b)
+        keep = pa.array(flags)
+        pos = ids_u.filter(keep)
+        return pa.Table.from_arrays(
+            [pos, pa.array(np.ones(len(pos), dtype=np.int8))],
+            names=[id_col, "contained_i"])
+
+    return fn
+
+
+def make_short_probe_fn(short_ref, id_col: str = "image_id",
+                        text_col: str = "caption"):
+    """map_batches fn over the full unique-caption table: for each
+    broadcast short caption (below the winnowing guarantee threshold),
+    emit (short_id, 1) if it occurs inside any OTHER caption in this
+    block. One vectorized match_substring pass per short caption."""
+    from .neardup import _cached_broadcast
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sids, scaps = _cached_broadcast(short_ref)
+        ids = _combine(batch[id_col])
+        caps = _combine(batch[text_col])
+        out = []
+        for sid, sc in zip(sids, scaps):
+            m = pc.match_substring(caps, pattern=str(sc))
+            hit = pc.and_kleene(m, pc.not_equal(ids, str(sid)))
+            if pc.any(hit).as_py():
+                out.append(str(sid))
+        return pa.Table.from_arrays(
+            [pa.array(out, type=pa.string()),
+             pa.array(np.ones(len(out), dtype=np.int8))],
+            names=[id_col, "contained_i"])
+
+    return fn
+
+
+def substring_flags_sharded(uniq_ds, id_col: str = "image_id",
+                            text_col: str = "caption",
+                            num_partitions: int = 8, k: int = 8,
+                            window: int = 16, seed: int = DEFAULT_SEED,
+                            short_limit: int = 1_000_000):
+    """Distributed exact substring-containment flags over a UNIQUE
+    caption Dataset → Dataset (id, contained), bit-equal to the
+    single-partition suffix-array pass.
+
+    Graph: bucket rows (fingerprint, id, caption) → fingerprint-keyed
+    repartition → per-partition SA pass (positives only), plus the
+    broadcast short-caption probe; positives ∪ all-ids-False → id-keyed
+    repartition → block max. Two keyed shuffles, consumed sequentially
+    (two concurrent hash-shuffle operators deadlock small clusters).
+    """
+    import ray
+
+    t = k + window - 1
+    uniq = uniq_ds.select_columns([id_col, text_col]).materialize()
+
+    # short side set: captions below the guarantee threshold
+    def keep_short(batch: pa.Table) -> pa.Table:
+        caps = _combine(batch[text_col])
+        _, offs = _string_bytes(caps)
+        return batch.filter(pa.array(np.diff(offs) < t))
+
+    short_batches = [b for b in
+                     uniq.map_batches(keep_short, batch_format="pyarrow")
+                     .iter_batches(batch_size=1 << 16,
+                                   batch_format="pyarrow")]
+    shorts = pa.concat_tables(short_batches) if short_batches else \
+        pa.table({id_col: pa.array([], type=pa.string()),
+                  text_col: pa.array([], type=pa.string())})
+    if len(shorts) > short_limit:
+        raise ValueError(
+            f"{len(shorts)} captions below {t} bytes exceed short_limit; "
+            "raise the limit or pre-filter degenerate captions")
+
+    # bucket pass (shuffle 1), materialized so the final shuffle is the
+    # only hash-shuffle operator in its execution
+    bucket_pos = uniq.map_batches(
+        make_bucket_rows_fn(id_col, text_col, k, window, seed),
+        batch_format="pyarrow") \
+        .repartition(num_partitions, keys=["fingerprint"]) \
+        .map_batches(make_bucket_flags_fn(id_col, text_col),
+                     batch_format="pyarrow", batch_size=None).materialize()
+
+    streams = [bucket_pos]
+    if len(shorts):
+        ref = ray.put((shorts[id_col].to_pylist(),
+                       np.asarray(shorts[text_col].to_pylist())))
+        short_pos = uniq.map_batches(
+            make_short_probe_fn(ref, id_col, text_col),
+            batch_format="pyarrow").materialize()
+        streams.append(short_pos)
+
+    base = uniq.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [_combine(b[id_col]),
+             pa.array(np.zeros(len(b), dtype=np.int8))],
+            names=[id_col, "contained_i"]),
+        batch_format="pyarrow")
+    unioned = base.union(*streams)
+    unioned = unioned.repartition(num_partitions, keys=[id_col])
+
+    def flag_max(batch: pa.Table) -> pa.Table:
+        ids = _combine(batch[id_col])
+        fl = _combine(batch["contained_i"]).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.Table.from_arrays(
+                [ids, pa.array([], type=pa.bool_())],
+                names=[id_col, "contained"])
+        codes = np.asarray(ids.dictionary_encode().indices).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs, fs = codes[order], fl[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(first)
+        gmax = np.maximum.reduceat(fs, starts)
+        sel = pa.array(order[starts])
+        return pa.Table.from_arrays(
+            [ids.take(sel), pa.array(gmax > 0)],
+            names=[id_col, "contained"])
+
+    return unioned.map_batches(flag_max, batch_format="pyarrow",
+                               batch_size=None)
 
 
 def make_substring_flag_fn(id_col: str = "image_id",

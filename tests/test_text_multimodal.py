@@ -4,6 +4,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+SF = "/root/testdata/sf0.001"
+
 from bloom_filters_ray.stages.multimodal import (DecodeResizeStage,
                                                  FrameSampleStage,
                                                  ImageFeatureStage,
@@ -158,3 +160,58 @@ class TestMultimodal:
             .limit(30).to_pandas().set_index("image_id").phash
         got = out.set_index("image_id").phash
         assert (got == src.loc[got.index]).all()
+
+
+class TestShardedSubstring:
+    def test_sharded_equals_single_partition(self, ray_session):
+        """Fingerprint-bucketed pass must be bit-equal to the global
+        single-partition suffix-array pass on the real corpus."""
+        from bloom_filters_ray.pipelines.dedup import DedupConfig, exact_tier
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+        from bloom_filters_ray.stages.substring import (
+            make_substring_flag_fn, substring_flags_sharded)
+
+        cfg = DedupConfig()
+        ds = corpus_dataset(SF, with_bytes=False).select_columns(
+            ["image_id", "caption"])
+        uniq = exact_tier(ds, cfg).filter(expr="is_rep == True") \
+            .select_columns(["image_id", "caption"]).materialize()
+        want = uniq.repartition(1).map_batches(
+            make_substring_flag_fn(), batch_format="pyarrow",
+            batch_size=None).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        got = substring_flags_sharded(uniq, num_partitions=4).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert want.equals(got)
+        assert got.contained.sum() > 0
+
+    def test_short_captions_exact(self, ray_session):
+        """Captions below the winnowing guarantee threshold (23 bytes)
+        take the broadcast probe path and must still be exact."""
+        import ray.data
+
+        from bloom_filters_ray.stages.substring import (
+            make_substring_flag_fn, substring_flags_sharded)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        caps = {
+            "i00": "tiny",                                # in i02 and i03
+            "i01": "a very distinctive long caption that repeats nowhere",
+            "i02": "this tiny fragment hides in a long sentence somewhere",
+            "i03": "tiny",  # NOT unique input -> make unique: changed below
+        }
+        caps["i03"] = "another long caption with the word tiny inside it ok"
+        caps["i04"] = ""                                  # empty: contained
+        caps["i05"] = "a very distinctive long caption that repeats nowhere else"
+        rows = pa.table({"image_id": list(caps), "caption": list(caps.values())})
+        ds = ray.data.from_arrow(rows)
+        want = ds.repartition(1).map_batches(
+            make_substring_flag_fn(), batch_format="pyarrow",
+            batch_size=None).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        got = substring_flags_sharded(ds, num_partitions=4).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert want.equals(got)
+        m = dict(zip(got.image_id, got.contained))
+        assert m["i00"] and m["i04"] and m["i01"] and not m["i05"]
