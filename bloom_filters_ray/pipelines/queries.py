@@ -352,11 +352,16 @@ def q_events_window(sf_dir: str):
 
 
 def q_xor_members(sf_dir: str):
-    """Static-set membership via XOR filter (8-bit fingerprints) built
-    over the exact-tier representative ids; probing every member must
-    return true (XOR filters have no false negatives on the build set).
-    Build is driver-side (XOR peeling is a global construction); the
-    probe runs distributed against the broadcast filter."""
+    """Static-set membership via XOR filters (16-bit fingerprints) over
+    the exact-tier representative ids. XOR peeling is a global
+    construction, so the distributed build is per-PARTITION: each block
+    peels its own filter inside the task and ships only the tiny filter
+    artifact; the union (a broadcast list) is probed vectorized —
+    present = any(filter.has). Per-filter no-false-negatives still
+    holds, so every member probes True; the false-positive odds grow
+    ~x n_filters (16-bit fingerprints keep that negligible)."""
+    import pickle
+
     import ray
 
     from ..stages.sketch_aggs import _plain_fetch
@@ -367,17 +372,30 @@ def q_xor_members(sf_dir: str):
     ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
         ["image_id", "caption"])
     reps = exact_tier(ds, cfg).filter(expr="is_rep == True")         .select_columns(["image_id"]).materialize()
-    ids = [r["image_id"] for r in reps.take_all()]
-    xf = XorFilter.create(ids, bits_per_fingerprint=16)
-    ref = ray.put(xf)
+
+    def build_block(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        if not ids:
+            return pa.table({"filter": pa.array([], type=pa.binary())})
+        xf = XorFilter.create(ids, bits_per_fingerprint=16)
+        return pa.table({"filter": pa.array([pickle.dumps(xf)],
+                                            type=pa.binary())})
+
+    filters = [pickle.loads(r["filter"]) for r in
+               reps.map_batches(build_block, batch_format="pyarrow",
+                                batch_size=None).take_all()]
+    ref = ray.put(filters)
 
     def probe(batch: pa.Table) -> pa.Table:
-        f = _plain_fetch(ref)
+        fs = _plain_fetch(ref)
         col = batch["image_id"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        present = [f.has(v) for v in col.to_pylist()]
-        return batch.append_column("present", pa.array(present, type=pa.bool_()))
+        present = np.zeros(len(col), dtype=bool)
+        for f in fs:
+            present |= f.has_many(col)
+        return batch.append_column("present",
+                                   pa.array(present, type=pa.bool_()))
 
     return reps.map_batches(probe, batch_format="pyarrow")
 

@@ -68,6 +68,26 @@ class XorFilter:
             x ^= self._filter[hi + i * self._block_length]
         return fp == x
 
+    def has_many(self, values) -> "np.ndarray":
+        """Vectorized membership probe over an Arrow string array (or
+        ChunkedArray): bool per value, identical to ``has``."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ..hashing import xxh64_arrow
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        h = xxh64_arrow(values, self._seed)
+        fp = (h ^ (h >> np.uint64(32))) & np.uint64((1 << self._bits) - 1)
+        filt = np.asarray(self._filter, dtype=np.uint64)
+        bl = np.uint64(self._block_length)
+        x = np.zeros(len(h), dtype=np.uint64)
+        for i in range(_HASHES):
+            hi = ((h >> np.uint64(i * 21)) % bl) & np.uint64(_MASK32)
+            x ^= filt[(hi + np.uint64(i) * bl).astype(np.int64)]
+        return fp == x
+
     def add(self, elements: list) -> "XorFilter":
         if len(elements) != self._size:
             raise ValueError(f"This filter has been created for exactly {self._size} elements")

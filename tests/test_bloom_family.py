@@ -142,3 +142,20 @@ class TestScalableBloomFilter:
         g = ScalableBloomFilter.from_json(json.loads(json.dumps(f.save_as_json())))
         assert g.nb_filters == f.nb_filters
         assert g.has_many([f"i{i}" for i in range(500)]).all()
+
+
+class TestXorHasMany:
+    def test_has_many_matches_scalar(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from bloom_filters_ray.state.xor_filter import XorFilter
+
+        members = [f"member-{i}" for i in range(500)]
+        others = [f"other-{i}" for i in range(500)]
+        xf = XorFilter.create(members, bits_per_fingerprint=16)
+        col = pa.array(members + others)
+        got = xf.has_many(col)
+        want = np.array([xf.has(v) for v in members + others])
+        assert (got == want).all()
+        assert got[:500].all()  # no false negatives on the build set
