@@ -127,27 +127,24 @@ def bench_ann(sf_dir: str) -> int:
     topk = brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=10)
     assignments, _ = embedding_dedup_pipeline(embedding_corpus(sf_dir),
                                               EmbDedupConfig())
-    return len(topk) + len(assignments)
+    return len(topk) + assignments.count()
 
 
 def bench_substring(sf_dir: str) -> int:
-    """Exact-substring dedup, scale path: suffix-array containment per
-    key-hashed caption shard (16 shards; containment is detected
-    within a shard — the documented partitioning assumption of
-    stages/substring.py; the oracle query runs the global
-    single-partition variant)."""
+    """Exact-substring dedup, scale path: winnowing-fingerprint bucket
+    sharding + per-partition suffix-array passes — bit-equal to the
+    global single-partition pass (stages/substring.py), no
+    repartition(1) anywhere."""
     from bloom_filters_ray.pipelines.dedup import DedupConfig, exact_tier
     from bloom_filters_ray.sources.synthetic import corpus_dataset
-    from bloom_filters_ray.stages.substring import make_substring_flag_fn
+    from bloom_filters_ray.stages.substring import substring_flags_sharded
 
     cfg = DedupConfig(num_partitions=PARTITIONS)
     ds = corpus_dataset(sf_dir, copies=3, with_bytes=False) \
         .select_columns(["image_id", "caption"])
     uniq = exact_tier(ds, cfg).filter(expr="is_rep == True") \
         .select_columns(["image_id", "caption"])
-    out = uniq.repartition(16, keys=["caption"]).map_batches(
-        make_substring_flag_fn(), batch_format="pyarrow", batch_size=None)
-    return out.count()
+    return substring_flags_sharded(uniq, num_partitions=16).count()
 
 
 BENCH_QUERIES = {

@@ -19,3 +19,11 @@ Layers:
 __version__ = "0.1.0"
 
 from .hashing import DEFAULT_SEED, xxh64  # noqa: F401
+
+# Install the schema-hash log filter at import time: worker processes
+# import this package when unpickling batch fns, so the filter applies
+# on every process that can emit the (harmless, noisy) warning.
+from .util import _silence_schema_hash_warning as _sshw  # noqa: E402
+
+_sshw()
+del _sshw

@@ -486,7 +486,7 @@ def q_substring_dups(sf_dir: str):
     ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
         ["image_id", "caption"])
     uniq = exact_tier(ds, cfg).filter(expr="is_rep == True")         .select_columns(["image_id", "caption"])
-    return substring_flags_sharded(uniq, num_partitions=cfg.partitions())
+    return substring_flags_sharded(uniq)
 
 
 def q_ann_topk(sf_dir: str):

@@ -114,6 +114,200 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
     """For each (unique) caption, True iff it occurs as a substring of
     some other caption in the set.
 
+    Rarest-anchor algorithm (the hot path; bit-equal to the
+    suffix-array reference ``substring_contained_flags_sa``, kept for
+    cross-validation). One hashed 32-byte-gram code per text position
+    (polynomial rolling hash, computed CHUNKED with reused scratch so
+    the kernel touches ~15 bytes of fresh memory per text byte — fresh
+    pages are the dominant cost on page-fault-bound hosts); each
+    caption >= 32 bytes is anchored at its globally rarest gram (any
+    gram works for correctness since candidates are found by hash
+    lookup; rarity only bounds candidate volume on repetitive text),
+    candidate positions come from one sorted (hash32, pos) array, and
+    every candidate is byte-verified (collision-proof). Captions under
+    32 bytes fall back to per-length rolling scans (rare rows).
+    """
+    m = len(captions)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    A = 32  # anchor gram length
+    lens0 = np.array([len(c) for c in captions], dtype=np.int64)
+    contained = np.zeros(m, dtype=bool)
+    contained[lens0 == 0] = m > 1
+    perm = np.argsort(-lens0, kind="stable")  # length-desc layout
+    lens = lens0[perm]
+    if not (lens > 0).any():
+        return contained
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    ends = starts + lens
+    total = int(lens.sum())
+    text = np.empty(total, dtype=np.uint8)
+    for j, i in enumerate(perm):
+        text[starts[j] : starts[j] + lens[j]] = \
+            np.frombuffer(captions[i], dtype=np.uint8)
+
+    # rolling-hash parameters: window hash h(s, L) = sum_u
+    # text[s+u] * Binv^u  (position independent; uint64 wrap)
+    B = np.uint64(0x9E3779B97F4A7C15)
+    Binv = np.uint64(pow(int(B), -1, 1 << 64))
+
+    def row_at(pos: np.ndarray) -> np.ndarray:
+        return np.searchsorted(ends, pos, side="right")
+
+    def direct_hash(s: np.ndarray, L: int) -> np.ndarray:
+        """h(s, L) by direct evaluation — for small position sets."""
+        acc = np.zeros(len(s), dtype=np.uint64)
+        w = np.uint64(1)
+        for u in range(L):
+            acc += text[s + u].astype(np.uint64) * w
+            w = w * Binv
+        return acc
+
+    cand_pos: list[np.ndarray] = []
+    cand_row: list[np.ndarray] = []
+
+    long_rows = np.flatnonzero(lens >= A)
+    if len(long_rows):
+        lend = int(ends[long_rows[-1]])
+        nw = lend - A + 1
+        # validity: gram must not cross a row boundary — mark the last
+        # A-1 positions of every row invalid (m*(A-1) indices, tiny)
+        valid = np.ones(nw, dtype=bool)
+        tail = (ends[:, None] - np.arange(A - 1, 0, -1)[None, :]).ravel()
+        tail = tail[(tail >= 0) & (tail < nw)]
+        valid[tail] = False
+        # chunked rolling hashes -> (hash32 << 32 | pos) combo entries
+        # for valid positions; scratch buffers are reused across chunks
+        chunk = 1 << 18
+        combo = np.empty(nw, dtype=np.uint64)
+        freq32 = np.full(total, np.uint32(0xFFFFFFFF), dtype=np.uint32)
+        nv = 0
+        maxspan = chunk + A - 1
+        binv_pows = np.empty(maxspan, dtype=np.uint64)   # Binv^0..
+        binv_pows[0] = 1
+        np.cumprod(np.full(maxspan - 1, Binv, dtype=np.uint64),
+                   out=binv_pows[1:])
+        b_pows = np.empty(chunk, dtype=np.uint64)        # B^0..
+        b_pows[0] = 1
+        np.cumprod(np.full(chunk - 1, B, dtype=np.uint64), out=b_pows[1:])
+        tb = np.empty(maxspan, dtype=np.uint64)
+        hh = np.empty(chunk, dtype=np.uint64)
+        for c0 in range(0, nw, chunk):
+            c1 = min(c0 + chunk, nw)
+            span = c1 - c0 + A - 1  # text bytes needed: [c0, c1-1+A)
+            # local prefix C'[i+1] = sum_{j<=i} text[c0+j] * Binv^j
+            tbs = tb[:span]
+            np.multiply(text[c0 : c0 + span], binv_pows[:span], out=tbs)
+            np.cumsum(tbs, out=tbs)
+            # h(c0+d, A) = (C'[d+A] - C'[d]) * B^d
+            nloc = c1 - c0
+            hs = hh[:nloc]
+            hs[0] = tbs[A - 1]
+            if nloc > 1:
+                np.subtract(tbs[A : A + nloc - 1], tbs[: nloc - 1],
+                            out=hs[1:])
+            hs *= b_pows[:nloc]
+            vm = valid[c0:c1]
+            nn = int(vm.sum())
+            if nn:
+                combo[nv : nv + nn] = ((hs[vm] >> np.uint64(32))
+                                       << np.uint64(32)) \
+                    | (np.flatnonzero(vm) + c0).astype(np.uint64)
+                nv += nn
+        combo = combo[:nv]
+        combo.sort()
+        h32 = combo >> np.uint64(32)
+        newr = np.ones(nv, dtype=bool)
+        newr[1:] = h32[1:] != h32[:-1]
+        run_id = np.cumsum(newr) - 1
+        run_len = np.bincount(run_id).astype(np.uint32)
+        freq32[(combo & np.uint64(0xFFFFFFFF)).astype(np.int64)] = \
+            run_len[run_id]
+        # per-row rarest anchor (freq argmin; invalid positions = MAX)
+        anchor = np.empty(len(long_rows), dtype=np.int64)
+        for j, r in enumerate(long_rows):
+            seg = freq32[starts[r] : ends[r] - A + 1]
+            anchor[j] = starts[r] + int(np.argmin(seg))
+        ah32 = (direct_hash(anchor, A) >> np.uint64(32)).astype(np.uint64)
+        lo = np.searchsorted(combo, ah32 << np.uint64(32))
+        hi = np.searchsorted(combo, (ah32 + np.uint64(1)) << np.uint64(32))
+        cnt = hi - lo
+        rowidx = np.repeat(np.arange(len(long_rows)), cnt)
+        first = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - first[rowidx]
+        pos = (combo[lo[rowidx] + within]
+               & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        rows = long_rows[rowidx]
+        p = pos - (anchor[rowidx] - starts[rows])
+        L = lens[rows]
+        ok = (p >= 0) & (p + L <= total)
+        pc_ = np.minimum(np.maximum(p, 0), total - 1)
+        prow = row_at(pc_)
+        ok &= (prow != rows) & (p + L <= ends[prow])
+        ok &= p >= starts[prow]
+        cand_pos.append(p[ok])
+        cand_row.append(rows[ok])
+
+    # short rows (1..31 bytes): per-length rolling scans (rare rows)
+    short_lens = np.unique(lens[(lens > 0) & (lens < A)])
+    if len(short_lens):
+        powBinv_full = np.concatenate(
+            ([np.uint64(1)],
+             np.cumprod(np.full(total - 1, Binv, dtype=np.uint64))))
+        C = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(text.astype(np.uint64) * powBinv_full, out=C[1:])
+        powB_full = np.concatenate(
+            ([np.uint64(1)],
+             np.cumprod(np.full(total - 1, B, dtype=np.uint64))))
+        cum_desc = ends
+        for L in short_lens:
+            L = int(L)
+            rows_L = np.flatnonzero(lens == L)
+            end = int(cum_desc[np.searchsorted(-lens, -L, side="right") - 1])
+            if end < L:
+                continue
+            nwL = end - L + 1
+            ww = (C[L : L + nwL] - C[:nwL]) * powB_full[:nwL]
+            hvals = (C[starts[rows_L] + L] - C[starts[rows_L]]) \
+                * powB_full[starts[rows_L]]
+            for j, r in enumerate(rows_L):
+                pr = np.flatnonzero(ww == hvals[j])
+                rr_ = row_at(pr)
+                pr = pr[(rr_ != r) & (pr >= starts[rr_])
+                        & (pr + L <= ends[rr_])]
+                if len(pr):
+                    cand_pos.append(pr)
+                    cand_row.append(np.full(len(pr), r, dtype=np.int64))
+
+    if cand_pos:
+        p = np.concatenate(cand_pos)
+        r = np.concatenate(cand_row)
+        L = lens[r]
+        # segmented byte-verify of every candidate (collision-proof);
+        # chunked to bound memory. Rows are in length-desc space — map
+        # verified flags back through perm.
+        step = 1 << 20
+        for c0 in range(0, len(p), step):
+            pp = p[c0 : c0 + step]
+            rr = r[c0 : c0 + step]
+            ll = L[c0 : c0 + step]
+            tot = int(ll.sum())
+            if tot == 0:
+                continue
+            cidx = np.repeat(np.arange(len(pp)), ll)
+            seg0 = np.concatenate(([0], np.cumsum(ll)))
+            off = np.arange(tot, dtype=np.int64) - seg0[cidx]
+            eq = (text[pp[cidx] + off]
+                  == text[starts[rr][cidx] + off]).astype(np.int8)
+            good = np.minimum.reduceat(eq, seg0[:-1]).astype(bool)
+            contained[perm[rr[good]]] = True
+    return contained
+
+
+def substring_contained_flags_sa(captions: list[bytes]) -> np.ndarray:
+    """Suffix-array reference implementation (prefix doubling + LCP
+    neighbour compare) — the oracle twin of the anchor-gram hot path.
+
     Only the LCPs between each caption's full suffix and its two
     suffix-array neighbours are needed (the prefix-A run is contiguous
     and contains the full suffix), so instead of a Kasai pass over the
@@ -176,8 +370,24 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return buf, offs
 
 
+def _window_min(a: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every length-*w* window of *a* (van Herk/Gil-Werman
+    erosion: two block-cummin passes, O(n) memory — no (n, w) gather,
+    which is pathological on page-fault-bound hosts)."""
+    n = len(a)
+    if n < w:
+        return np.empty(0, dtype=a.dtype)
+    pad = (-n) % w
+    maxv = np.iinfo(a.dtype).max if a.dtype.kind in "ui" else np.inf
+    big = np.concatenate([a, np.full(pad, maxv, dtype=a.dtype)])
+    blocks = big.reshape(-1, w)
+    L = np.minimum.accumulate(blocks, axis=1).ravel()
+    R = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(R[: n - w + 1], L[w - 1 : n])
+
+
 def char_winnow_fingerprints(captions: pa.Array, k: int = 8,
-                             window: int = 16, seed: int = DEFAULT_SEED,
+                             window: int = 32, seed: int = DEFAULT_SEED,
                              ) -> tuple[np.ndarray, np.ndarray]:
     """Character-level winnowing fingerprints per caption: XXH64 of
     every k-byte gram of the utf-8 text, min of every *window*-length
@@ -185,39 +395,46 @@ def char_winnow_fingerprints(captions: pa.Array, k: int = 8,
 
     Rows shorter than the guarantee threshold t = k + window - 1 bytes
     emit nothing — they take the broadcast short path instead. k is
-    fixed at 8 so each gram is one little-endian uint64 read.
+    fixed at 8 so each gram is one little-endian uint64 word. Expected
+    distinct fingerprints per row ≈ 2·len/(window+1) (winnowing
+    density) — *window* is the replication/recall-threshold knob.
     """
-    assert k == 8, "char grams are one uint64 read (k=8)"
-    from .shingle import _segmented_window_starts, unique_per_row
+    assert k == 8, "char grams are one uint64 word (k=8)"
+    from .shingle import unique_per_row
 
     captions = _combine(captions)
     n = len(captions)
     buf, offs = _string_bytes(captions)
+    base = int(offs[0])
     lens = np.diff(offs)
     t = k + window - 1
-    counts = np.where(lens >= t, lens - (k - 1), 0)
-    total = int(counts.sum())
-    if total == 0:
+    nbytes = int(offs[-1] - base)
+    if nbytes < t or not (lens >= t).any():
         return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    flat = buf[base : base + nbytes]
+    # gram codes at EVERY byte position via 8 shifted adds (no gather);
+    # windows crossing row boundaries are computed but never selected
+    padded = np.concatenate([flat, np.zeros(k - 1, dtype=np.uint8)]) \
+        .astype(np.uint64)
+    codes = np.zeros(nbytes, dtype=np.uint64)
+    for j in range(k):
+        codes |= padded[j : j + nbytes] << np.uint64(8 * j)
+    gh = xxh64_u64(codes, seed)
+    wmins_all = _window_min(gh, window)  # min of gram-window at pos i
+    # per-row selected window starts: [offs[i], offs[i] + len - t]
+    counts = np.where(lens >= t, lens - t + 1, 0)
+    total = int(counts.sum())
     row_of = np.repeat(np.arange(n), counts)
     first = np.concatenate(([0], np.cumsum(counts)[:-1]))
     within = np.arange(total, dtype=np.int64) - first[row_of]
-    pos = offs[:-1][row_of] + within
-    win = np.lib.stride_tricks.sliding_window_view(
-        np.concatenate([buf, np.zeros(k - 1, dtype=np.uint8)]), k)
-    grams = np.ascontiguousarray(win[pos]).view("<u8").ravel()
-    gh = xxh64_u64(grams, seed)
-    gh_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-    starts, wcounts = _segmented_window_starts(gh_off, window)
-    wmins = np.lib.stride_tricks.sliding_window_view(
-        np.concatenate([gh, np.full(window - 1, np.uint64(2**64 - 1))]),
-        window)[starts].min(axis=1)
-    w_off = np.concatenate(([0], np.cumsum(wcounts))).astype(np.int64)
+    pos = (offs[:-1] - base)[row_of] + within
+    wmins = wmins_all[pos]
+    w_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     return unique_per_row(wmins, w_off)
 
 
 def make_bucket_rows_fn(id_col: str = "image_id", text_col: str = "caption",
-                        k: int = 8, window: int = 16,
+                        k: int = 8, window: int = 32,
                         seed: int = DEFAULT_SEED):
     """map_batches fn: (id, caption) → (fingerprint int64, id, caption)
     rows, one per distinct winnow fingerprint (~len/(window/2) per
@@ -293,9 +510,10 @@ def make_short_probe_fn(short_ref, id_col: str = "image_id",
 
 def substring_flags_sharded(uniq_ds, id_col: str = "image_id",
                             text_col: str = "caption",
-                            num_partitions: int = 8, k: int = 8,
-                            window: int = 16, seed: int = DEFAULT_SEED,
-                            short_limit: int = 1_000_000):
+                            num_partitions: int = 16, k: int = 8,
+                            window: int = 32, seed: int = DEFAULT_SEED,
+                            short_limit: int = 1_000_000,
+                            target_partition_bytes: int = 32 << 20):
     """Distributed exact substring-containment flags over a UNIQUE
     caption Dataset → Dataset (id, contained), bit-equal to the
     single-partition suffix-array pass.
@@ -305,11 +523,36 @@ def substring_flags_sharded(uniq_ds, id_col: str = "image_id",
     broadcast short-caption probe; positives ∪ all-ids-False → id-keyed
     repartition → block max. Two keyed shuffles, consumed sequentially
     (two concurrent hash-shuffle operators deadlock small clusters).
+
+    Cost model: each caption lands in min(its ~2·len/(window+1)
+    fingerprints, P) partitions after per-block dedupe, so total
+    containment-check text ≈ that factor × corpus bytes — *window* sets
+    the fingerprint density (guarantee threshold t = window + 7 bytes).
+    The effective partition count is SIZE-adaptive (like Ray block
+    sizing): P = clamp(ceil(corpus_bytes / target_partition_bytes), 1,
+    num_partitions), because bucketing only divides work once P exceeds
+    the per-caption fingerprint count — at small corpus sizes one
+    content partition (still a worker task, nothing driver-side) is
+    both exact and fastest, while a 100 TB corpus gets thousands of
+    partitions.
     """
     import ray
 
     t = k + window - 1
     uniq = uniq_ds.select_columns([id_col, text_col]).materialize()
+    size = uniq.size_bytes() or 0
+    p_eff = max(1, min(num_partitions,
+                       -(-size // max(target_partition_bytes, 1))))
+    if p_eff == 1:
+        # single content partition: the per-partition pass IS global —
+        # no bucket replication, no short side set needed. The tiny
+        # materialize decouples the reduce from the flag task (fusing
+        # them serializes the whole execution behind one worker).
+        one = uniq.repartition(1).materialize()
+        return one.map_batches(
+            make_substring_flag_fn(id_col, text_col),
+            batch_format="pyarrow", batch_size=None)
+    num_partitions = p_eff
 
     # short side set: captions below the guarantee threshold
     def keep_short(batch: pa.Table) -> pa.Table:

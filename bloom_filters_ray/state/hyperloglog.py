@@ -9,10 +9,10 @@ reference's non-standard ``alpha * m^2 * 2 / Z`` (the extra *2
 compensates the 0-based rank) with its small/large-range corrections.
 ``merge`` = elementwise register max.
 
-Hash-family note: the reference hashes with XXH3-64 (hyperloglog.ts:4,
-96-97); python has no xxh3 available here, so the engine uses XXH64
-with the same seed — identical statistical contract, documented
-deviation, pluggable via *hasher*.
+Hash family: XXH3-64 with the filter seed, matching the reference
+(hyperloglog.ts:4, 96-97) via the pure-numpy ``bloom_filters_ray.xxh3``
+implementation (conformance-pinned in tests/test_hashing.py);
+``hash_family="xxh64"`` keeps the round-1 XXH64 variant readable.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ import math
 import numpy as np
 
 from ..hashing import DEFAULT_SEED, xxh64, xxh64_arrow
+from ..xxh3 import xxh3_64, xxh3_64_arrow
 from .serde import export_bigint, import_bigint
 
 _TWO_POW_32 = 2.0**32
@@ -55,7 +56,7 @@ class HyperLogLog:
     HASH_SIZE = 64
 
     def __init__(self, nb_registers: int, seed: int = DEFAULT_SEED,
-                 mode: str = "reference"):
+                 mode: str = "reference", hash_family: str = "xxh3"):
         """*mode*: "reference" replicates the reference estimator
         verbatim (0-based rank, ``alpha*m^2*2/Z``, ``V = #(reg==0)``) —
         accurate at reference load (n >> m) but biased in the sparse
@@ -68,6 +69,9 @@ class HyperLogLog:
             raise ValueError("The number of registers should be a power of 2")
         if mode not in ("reference", "standard"):
             raise ValueError(mode)
+        if hash_family not in ("xxh3", "xxh64"):
+            raise ValueError(hash_family)
+        self._hash_family = hash_family
         self._m = nb_registers
         self._b = math.ceil(math.log2(nb_registers))
         self._correction_bias = _alpha(nb_registers)
@@ -80,7 +84,8 @@ class HyperLogLog:
         return self._m
 
     def update(self, element) -> None:
-        x = xxh64(element, self._seed)
+        x = (xxh3_64(element, self._seed) if self._hash_family == "xxh3"
+             else xxh64(element, self._seed))
         k = self.HASH_SIZE - self._b
         register_index = x & (self._m - 1)  # low b bits
         top = x >> self._b  # high k bits
@@ -98,7 +103,9 @@ class HyperLogLog:
         if not isinstance(elements, (pa.Array, pa.ChunkedArray)):
             elements = pa.array([e.encode() if isinstance(e, str) else bytes(e)
                                  for e in elements], type=pa.binary())
-        x = xxh64_arrow(elements, self._seed)
+        x = (xxh3_64_arrow(elements, self._seed)
+             if self._hash_family == "xxh3"
+             else xxh64_arrow(elements, self._seed))
         k = self.HASH_SIZE - self._b
         idx = (x & np.uint64(self._m - 1)).astype(np.int64)
         top = x >> np.uint64(self._b)
@@ -128,12 +135,15 @@ class HyperLogLog:
             raise ValueError("Two HyperLogLog must have the same number of registers to be merged")
         if self._mode != other._mode:
             raise ValueError("Cannot merge HyperLogLogs with different estimator modes")
-        out = HyperLogLog(self._m, self._seed, self._mode)
+        if self._hash_family != other._hash_family:
+            raise ValueError("Cannot merge HyperLogLogs with different hash families")
+        out = HyperLogLog(self._m, self._seed, self._mode, self._hash_family)
         out._registers = np.maximum(self._registers, other._registers)
         return out
 
     def equals(self, other: "HyperLogLog") -> bool:
         return (self._m == other._m and self._mode == other._mode
+                and self._hash_family == other._hash_family
                 and np.array_equal(self._registers, other._registers))
 
     def save_as_json(self) -> dict:
@@ -146,12 +156,15 @@ class HyperLogLog:
         }
         if self._mode != "reference":  # reference JSON layout has no mode
             out["_mode"] = self._mode
+        if self._hash_family != "xxh3":  # reference family is xxh3
+            out["_hashFamily"] = self._hash_family
         return out
 
     @staticmethod
     def from_json(data: dict) -> "HyperLogLog":
         f = HyperLogLog(data["_m"], import_bigint(data["_seed"]),
-                        data.get("_mode", "reference"))
+                        data.get("_mode", "reference"),
+                        data.get("_hashFamily", "xxh3"))
         f._b = data["_b"]
         f._correction_bias = data["_correctionBias"]
         f._registers = np.asarray(data["_registers"], dtype=np.int64)

@@ -9,21 +9,31 @@ cells; ``substract`` is cellwise xorm; ``decode`` peels pure cells
 The byte-XOR replicates the reference's right-aligned XOR with
 leading-zero trim (``src/utils.ts:58-90``).
 
-Deviation note: the reference derives the checksum and cell indexes
-from XXH3-128 (fixed seed 125 for the checksum, incrementing salt for
-indexes — iblt:170-205, ignoring the filter's own seed); python has no
-xxh3 here, so the engine derives the same byte-stream structure from
-XXH64: checksum = signed-int32 of the first 4 big-endian digest bytes
-of xxh64(value, 125); indexes consume 4-byte words of successive
-xxh64(value, salt=0,1,...) digests. Same contract, different family.
+Hashing (parity with invertible-bloom-lookup-tables.ts:170-205): the
+checksum is derived from ``xxh3.xxh128(value, 125)`` and cell indexes
+from ``xxh3.xxh128(value, salt=0,1,...)`` (the filter's own seed is
+unused, as in the reference). The reference converts the 128-bit
+BigInt with ``toString(16).match(/../g)`` — an UNPADDED hex string cut
+into byte pairs, so leading zero nibbles shorten the digest and a
+trailing odd hex char is dropped; out-of-range reads coerce to 0 and
+shifts are JS signed-32-bit. All replicated bit-for-bit here via the
+pure-numpy ``bloom_filters_ray.xxh3``.
 """
 
 from __future__ import annotations
 
 import math
 
-from ..hashing import DEFAULT_SEED, xxh64
+from ..hashing import DEFAULT_SEED
+from ..xxh3 import xxh3_128
 from .serde import export_bigint, import_bigint
+
+
+def _digest128(value: bytes | str, seed: int) -> list[int]:
+    """Byte digest exactly as the reference builds it:
+    ``xxh128(value, seed).toString(16).match(/../g)`` → int bytes."""
+    hexs = format(xxh3_128(value, seed), "x")
+    return [int(hexs[i : i + 2], 16) for i in range(0, len(hexs) - 1, 2)]
 
 
 def xor_bytes(a: bytes, b: bytes) -> bytes:
@@ -92,23 +102,26 @@ class InvertibleBloomFilter:
         return sum(c._count for c in self._elements) / self._hash_count
 
     def gen_hash(self, element: str) -> int:
-        digest = xxh64(element, 125).to_bytes(8, "big")
+        digest = _digest128(element, 125)
         h = 0
         for j in range(4):
-            h = (h << 8) | digest[j]
-        return _int32(h)
+            h = _int32(_int32(h << 8) | (digest[j] if j < len(digest) else 0))
+        return h
 
     def gen_indexes(self, element: str) -> list[int]:
         indexes = []
         salt = 0
         while len(indexes) < self._hash_count:
-            digest = xxh64(element, salt).to_bytes(8, "big")
+            digest = _digest128(element, salt)
             salt += 1
-            for i in range(0, 8, 4):
-                if len(indexes) >= self._hash_count:
-                    break
-                h = _int32(int.from_bytes(digest[i : i + 4], "big"))
+            i = 0
+            while i < len(digest) / 4 and len(indexes) < self._hash_count:
+                h = 0
+                for j in range(i * 4, i * 4 + 4):
+                    h = _int32(_int32(h << 8)
+                               | (digest[j] if j < len(digest) else 0))
                 indexes.append(abs(h) % self._size)
+                i += 1
         return indexes
 
     def add(self, element: str) -> None:

@@ -6,9 +6,11 @@ from bits ``(hash >> (i*21)) % blockLength`` (asUintN(32)); fingerprint
 = asUintN(bits, hash ^ (hash >> 32)); construction retries new seeds
 (<= 100 iterations) until the 3-uniform hypergraph peels completely.
 
-Deviation note: the reference hashes with XXH3-64 and draws retry
-seeds from seedrandom; this engine uses XXH64 and a seeded Python RNG
-(the chosen seed is stored in the filter, so queries are portable).
+Hash family: XXH3-64 (matching src/bloom/xor-filter.ts:138-140, via
+the pure-numpy bloom_filters_ray.xxh3 implementation). Remaining
+deviation: construction retry seeds come from a seeded Python RNG, not
+seedrandom-ARC4 — the chosen seed is stored in the filter, so queries
+are portable either way.
 """
 
 from __future__ import annotations
@@ -16,7 +18,8 @@ from __future__ import annotations
 import math
 import random as _random
 
-from ..hashing import DEFAULT_SEED, xxh64
+from ..hashing import DEFAULT_SEED
+from ..xxh3 import xxh3_64
 from .serde import export_bigint, import_bigint
 
 ALLOWED_FINGERPRINT_SIZES = (8, 16, 32, 64)
@@ -50,7 +53,7 @@ class XorFilter:
         return int(round(s))
 
     def _hash64(self, element, seed: int) -> int:
-        return xxh64(element, seed)
+        return xxh3_64(element, seed)
 
     @staticmethod
     def _create_hx(index: int, h: int, block_length: int) -> int:
@@ -74,11 +77,11 @@ class XorFilter:
         import numpy as np
         import pyarrow as pa
 
-        from ..hashing import xxh64_arrow
+        from ..xxh3 import xxh3_64_arrow
 
         if isinstance(values, pa.ChunkedArray):
             values = values.combine_chunks()
-        h = xxh64_arrow(values, self._seed)
+        h = xxh3_64_arrow(values, self._seed)
         fp = (h ^ (h >> np.uint64(32))) & np.uint64((1 << self._bits) - 1)
         filt = np.asarray(self._filter, dtype=np.uint64)
         bl = np.uint64(self._block_length)
@@ -111,7 +114,15 @@ class XorFilter:
             self._seed = self._rng.getrandbits(31)
             t2count = [0] * flen
             t2 = [0] * flen
-            hashes = [self._hash64(k, self._seed) for k in elements]
+            if all(isinstance(e, (str, bytes)) for e in elements):
+                import pyarrow as pa
+
+                from ..xxh3 import xxh3_64_arrow
+
+                hashes = [int(v) for v in
+                          xxh3_64_arrow(pa.array(elements), self._seed)]
+            else:
+                hashes = [self._hash64(k, self._seed) for k in elements]
             for h in hashes:
                 for hi in range(_HASHES):
                     pos = self._create_hx(hi, h, bl) + hi * bl

@@ -2,7 +2,24 @@
 
 from __future__ import annotations
 
+import logging
 import os
+
+
+class _SchemaHashWarningFilter(logging.Filter):
+    """Drop Ray Data's per-task "Failed to hash the schemas" warning:
+    parquet files written by pandas carry b'pandas' schema metadata that
+    pyarrow cannot hash (upstream quirk), and Ray's schema-dedup probe
+    logs a harmless warning for every such block."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+def _silence_schema_hash_warning():
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_SchemaHashWarningFilter())
 
 
 def cluster_cpus(default: int = 8) -> int:
@@ -32,6 +49,7 @@ def ensure_hash_shuffle():
     """
     from ray.data.context import DataContext, ShuffleStrategy
 
+    _silence_schema_hash_warning()
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     cpus = cluster_cpus()

@@ -180,14 +180,15 @@ class TestShardedSubstring:
             make_substring_flag_fn(), batch_format="pyarrow",
             batch_size=None).to_pandas() \
             .sort_values("image_id").reset_index(drop=True)
-        got = substring_flags_sharded(uniq, num_partitions=4).to_pandas() \
+        got = substring_flags_sharded(uniq, num_partitions=4,
+                              target_partition_bytes=1).to_pandas() \
             .sort_values("image_id").reset_index(drop=True)
         assert want.equals(got)
         assert got.contained.sum() > 0
 
     def test_short_captions_exact(self, ray_session):
-        """Captions below the winnowing guarantee threshold (23 bytes)
-        take the broadcast probe path and must still be exact."""
+        """Captions below the winnowing guarantee threshold take the
+        broadcast probe path and must still be exact."""
         import ray.data
 
         from bloom_filters_ray.stages.substring import (
@@ -210,7 +211,8 @@ class TestShardedSubstring:
             make_substring_flag_fn(), batch_format="pyarrow",
             batch_size=None).to_pandas() \
             .sort_values("image_id").reset_index(drop=True)
-        got = substring_flags_sharded(ds, num_partitions=4).to_pandas() \
+        got = substring_flags_sharded(ds, num_partitions=4,
+                              target_partition_bytes=1).to_pandas() \
             .sort_values("image_id").reset_index(drop=True)
         assert want.equals(got)
         m = dict(zip(got.image_id, got.contained))
