@@ -272,6 +272,37 @@ def get_indexes(element: bytes | str, size: int, hash_count: int,
     return [double_hashing(i, h1, h2, size) for i in range(hash_count)]
 
 
+class Hashing:
+    """User-overridable hash provider (parity: the reference README
+    "Seeding and Hashing" + src/hashing.ts + tests/utils.test.ts:117-130
+    — subclass and override ``serialize`` to inject a custom hash into
+    any double-hashed structure). Structures that accept ``hasher=``
+    route their per-element index derivation through this object; the
+    default instance reproduces the built-in XXH64 kernel exactly, and
+    structures keep their vectorized fast path when no custom hasher is
+    supplied.
+    """
+
+    def serialize(self, element: bytes | str, seed: int = 0) -> int:
+        """The single overridable primitive: element + seed → uint64."""
+        return xxh64(element, seed)
+
+    def hash_twice(self, element: bytes | str,
+                   seed: int = DEFAULT_SEED) -> tuple[int, int]:
+        return (self.serialize(element, seed + 1),
+                self.serialize(element, seed + 2))
+
+    def double_hashing(self, n: int, hash_a: int, hash_b: int,
+                       size: int) -> int:
+        return double_hashing(n, hash_a, hash_b, size)
+
+    def get_indexes(self, element: bytes | str, size: int,
+                    hash_count: int, seed: int = DEFAULT_SEED) -> list[int]:
+        h1, h2 = self.hash_twice(element, seed)
+        return [self.double_hashing(i, h1, h2, size)
+                for i in range(hash_count)]
+
+
 # vectorized double hashing: (n_elems,) x (k,) -> (n_elems, k) index matrix
 _FLOOR_CACHE: dict[int, np.ndarray] = {}
 

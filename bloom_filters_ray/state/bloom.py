@@ -15,20 +15,27 @@ import math
 import numpy as np
 
 from ..formulas import optimal_filter_size, optimal_hashes
-from ..hashing import DEFAULT_SEED, get_indexes
+from ..hashing import DEFAULT_SEED, Hashing, get_indexes
 from ._batch import indexes_batch
 from .bitset import BitSet
 from .serde import export_bigint, import_bigint
 
 
+def _aslist(elements):
+    return elements.to_pylist() if hasattr(elements, "to_pylist") \
+        else list(elements)
+
+
 class BloomFilter:
-    def __init__(self, size: int, nb_hashes: int, seed: int = DEFAULT_SEED):
+    def __init__(self, size: int, nb_hashes: int, seed: int = DEFAULT_SEED,
+                 hasher: Hashing | None = None):
         if nb_hashes < 1:
             raise ValueError("A BloomFilter cannot use less than one hash function")
         self._size = size
         self._nb_hashes = nb_hashes
         self._seed = seed
-        self._filter = BitSet(size)
+        self._hasher = hasher  # custom Hashing object (README parity);
+        self._filter = BitSet(size)  # None keeps the vectorized kernel
 
     @classmethod
     def create(cls, nb_items: int, error_rate: float, seed: int = DEFAULT_SEED) -> "BloomFilter":
@@ -55,6 +62,9 @@ class BloomFilter:
         return self._filter.bit_count()
 
     def _indexes(self, element) -> list[int]:
+        if self._hasher is not None:
+            return self._hasher.get_indexes(element, self._size,
+                                            self._nb_hashes, self._seed)
         return get_indexes(element, self._size, self._nb_hashes, self._seed)
 
     def add(self, element) -> None:
@@ -67,11 +77,17 @@ class BloomFilter:
     def add_many(self, elements) -> None:
         if len(elements) == 0:
             return
+        if self._hasher is not None:  # custom hash: per-element path
+            for e in _aslist(elements):
+                self.add(e)
+            return
         self._filter.add_many(indexes_batch(elements, self._size, self._nb_hashes, self._seed))
 
     def has_many(self, elements) -> np.ndarray:
         if len(elements) == 0:
             return np.zeros(0, dtype=bool)
+        if self._hasher is not None:
+            return np.array([self.has(e) for e in _aslist(elements)])
         m = indexes_batch(elements, self._size, self._nb_hashes, self._seed)
         return self._filter.has_many(m).all(axis=1)
 

@@ -15,25 +15,28 @@ import math
 
 import numpy as np
 
-from ..hashing import DEFAULT_SEED, get_indexes
+from ..hashing import DEFAULT_SEED, Hashing, get_indexes
 from ._batch import indexes_batch
 from .serde import export_bigint, import_bigint
 
 
 class CountMinSketch:
-    def __init__(self, columns: int, rows: int, seed: int = DEFAULT_SEED):
+    def __init__(self, columns: int, rows: int, seed: int = DEFAULT_SEED,
+                 hasher: Hashing | None = None):
         self._columns = columns
         self._rows = rows
         self._seed = seed
+        self._hasher = hasher
         self._matrix = np.zeros((rows, columns), dtype=np.int64)
         self._all_sums = 0
 
     @classmethod
     def create(cls, error_rate: float, accuracy: float = 0.999,
-               seed: int = DEFAULT_SEED) -> "CountMinSketch":
+               seed: int = DEFAULT_SEED,
+               hasher: Hashing | None = None) -> "CountMinSketch":
         columns = math.ceil(math.e / error_rate)
         rows = math.ceil(math.log(1 / accuracy))
-        return cls(columns, rows, seed)
+        return cls(columns, rows, seed, hasher)
 
     @classmethod
     def from_items(cls, items, error_rate: float, accuracy: float = 0.999,
@@ -61,7 +64,10 @@ class CountMinSketch:
 
             element = int_to_bytes(int(element))
         self._all_sums += count
-        idx = get_indexes(element, self._columns, self._rows, self._seed)
+        idx = (self._hasher.get_indexes(element, self._columns, self._rows,
+                                        self._seed)
+               if self._hasher is not None else
+               get_indexes(element, self._columns, self._rows, self._seed))
         for i in range(self._rows):
             self._matrix[i, idx[i]] += count
 
@@ -70,7 +76,10 @@ class CountMinSketch:
             from ._batch import int_to_bytes
 
             element = int_to_bytes(int(element))
-        idx = get_indexes(element, self._columns, self._rows, self._seed)
+        idx = (self._hasher.get_indexes(element, self._columns, self._rows,
+                                        self._seed)
+               if self._hasher is not None else
+               get_indexes(element, self._columns, self._rows, self._seed))
         return int(min(self._matrix[i, idx[i]] for i in range(self._rows)))
 
     def update_many(self, elements, counts: np.ndarray | None = None) -> None:

@@ -13,18 +13,20 @@ import math
 import numpy as np
 
 from ..formulas import optimal_filter_size, optimal_hashes
-from ..hashing import DEFAULT_SEED, get_indexes
+from ..hashing import DEFAULT_SEED, Hashing, get_indexes
 from ._batch import indexes_batch
 from .serde import export_bigint, import_bigint
 
 
 class CountingBloomFilter:
-    def __init__(self, size: int, nb_hashes: int, seed: int = DEFAULT_SEED):
+    def __init__(self, size: int, nb_hashes: int, seed: int = DEFAULT_SEED,
+                 hasher: Hashing | None = None):
         if nb_hashes < 1:
             raise ValueError("A CountingBloomFilter must use at least one hash function")
         self._size = size
         self._nb_hashes = nb_hashes
         self._seed = seed
+        self._hasher = hasher
         self._bits = np.zeros(size, dtype=np.uint8)
         self._counters = np.zeros(size, dtype=np.int64)
         self._length = 0
@@ -50,6 +52,9 @@ class CountingBloomFilter:
         return self._length
 
     def _indexes(self, element) -> list[int]:
+        if self._hasher is not None:
+            return self._hasher.get_indexes(element, self._size,
+                                            self._nb_hashes, self._seed)
         return get_indexes(element, self._size, self._nb_hashes, self._seed)
 
     def add(self, element) -> None:

@@ -15,11 +15,15 @@ Deviation notes:
   ``(index ^ hash(fp)) % size`` (cuckoo-filter.ts:190-217) while
   lookups probe ``(fullhash ^ hash(fp)) % size`` — these disagree, so
   any kicked element becomes a false negative (reproducible defect in
-  the reference). This engine restores the standard cuckoo partner
-  involution instead: the table size is rounded up to a power of two
-  and ``i2 = i1 ^ (hash(fp) & (size-1))``, making relocation and
-  lookup agree (Fan et al., "Cuckoo Filter: Practically Better Than
-  Bloom", CoNEXT'14).
+  the reference). The DEFAULT mode ("standard") restores the standard
+  cuckoo partner involution: the table size is rounded up to a power
+  of two and ``i2 = i1 ^ (hash(fp) & (size-1))``, making relocation
+  and lookup agree (Fan et al., "Cuckoo Filter: Practically Better
+  Than Bloom", CoNEXT'14). ``mode="reference"`` opts into the
+  bug-compatible layout (modulo indexing, relocation/lookup
+  disagreement preserved) so reference-exported cuckoo state can be
+  replayed index-for-index; ``from_json`` of a reference export (no
+  ``_mode`` field) selects it automatically.
 """
 
 from __future__ import annotations
@@ -107,8 +111,13 @@ class Bucket:
 
 class CuckooFilter:
     def __init__(self, size: int, f_length: int, bucket_size: int,
-                 max_kicks: int = 500, seed: int = DEFAULT_SEED):
-        size = 1 << max(1, (size - 1).bit_length())  # power of two (see module note)
+                 max_kicks: int = 500, seed: int = DEFAULT_SEED,
+                 mode: str = "standard"):
+        if mode not in ("standard", "reference"):
+            raise ValueError(mode)
+        self._mode = mode
+        if mode == "standard":  # power of two (see module note)
+            size = 1 << max(1, (size - 1).bit_length())
         self._filter = [Bucket(bucket_size) for _ in range(size)]
         self._size = size
         self._bucket_size = bucket_size
@@ -166,9 +175,13 @@ class CuckooFilter:
                 f"The fingerprint length ({self._fingerprint_length}) is higher "
                 f"than the hash length ({len(hex_str)})")
         fingerprint = hex_str[: self._fingerprint_length]
-        mask = self._size - 1
-        i1 = h & mask
-        i2 = i1 ^ (xxh64(fingerprint, self._seed) & mask)
+        if self._mode == "reference":  # cuckoo-filter.ts:319-339 verbatim
+            i1 = h % self._size
+            i2 = (h ^ xxh64(fingerprint, self._seed)) % self._size
+        else:
+            mask = self._size - 1
+            i1 = h & mask
+            i2 = i1 ^ (xxh64(fingerprint, self._seed) & mask)
         return fingerprint, i1, i2
 
     def add(self, element, throw_error: bool = False, destructive: bool = False) -> bool:
@@ -187,7 +200,13 @@ class CuckooFilter:
                 logs.append((index, rnd_index, tmp))
                 self._filter[index].set(rnd_index, moved)
                 moved = tmp
-                index = index ^ (xxh64(moved, self._seed) & (self._size - 1))
+                if self._mode == "reference":
+                    # bug-compatible relocation (cuckoo-filter.ts:203-208):
+                    # (index ^ hash) % size disagrees with the lookup index
+                    index = (index ^ xxh64(moved, self._seed)) % self._size
+                else:
+                    index = index ^ (xxh64(moved, self._seed)
+                                     & (self._size - 1))
                 if self._filter[index].is_free():
                     self._filter[index].add(moved)
                     self._length += 1
@@ -243,13 +262,18 @@ class CuckooFilter:
             "_filter": [b.save_as_json() for b in self._filter],
             "_seed": export_bigint(self._seed),
             "_bucketSize": self._bucket_size,
+            "_mode": self._mode,  # engine field; absent in reference JSON
         }
 
     @staticmethod
     def from_json(data: dict) -> "CuckooFilter":
+        # a JSON without _mode is a reference export: replay it with
+        # bug-compatible reference indexing and its exact table size
+        mode = data.get("_mode", "reference")
         f = CuckooFilter(data["_size"], data["_fingerprintLength"],
                          data["_bucketSize"], data["_maxKicks"],
-                         import_bigint(data["_seed"]))
+                         import_bigint(data["_seed"]), mode=mode)
+        f._size = data["_size"]
         f._length = data["_length"]
         f._filter = [Bucket.from_json(b) for b in data["_filter"]]
         return f

@@ -14,7 +14,7 @@ import math
 
 import numpy as np
 
-from ..hashing import DEFAULT_SEED, get_indexes
+from ..hashing import DEFAULT_SEED, Hashing, get_indexes
 from ._batch import indexes_batch
 from .bitset import BitSet
 from .serde import export_bigint, import_bigint
@@ -22,7 +22,8 @@ from .serde import export_bigint, import_bigint
 
 class PartitionedBloomFilter:
     def __init__(self, bits: float, nb_hashes: int, error_rate: float,
-                 seed: int = DEFAULT_SEED):
+                 seed: int = DEFAULT_SEED, hasher: Hashing | None = None):
+        self._hasher = hasher
         self._bits = bits
         self._k = nb_hashes
         self._error_rate = error_rate
@@ -54,12 +55,18 @@ class PartitionedBloomFilter:
         return self._bits
 
     def add(self, element) -> None:
-        idx = get_indexes(element, self._m, self._k, self._seed)
+        idx = (self._hasher.get_indexes(element, self._m, self._k,
+                                        self._seed)
+               if getattr(self, "_hasher", None) is not None else
+               get_indexes(element, self._m, self._k, self._seed))
         for i in range(self._k):
             self._filter[i].add(idx[i])
 
     def has(self, element) -> bool:
-        idx = get_indexes(element, self._m, self._k, self._seed)
+        idx = (self._hasher.get_indexes(element, self._m, self._k,
+                                        self._seed)
+               if getattr(self, "_hasher", None) is not None else
+               get_indexes(element, self._m, self._k, self._seed))
         return all(self._filter[i].has(idx[i]) for i in range(self._k))
 
     def add_many(self, elements) -> None:

@@ -159,3 +159,109 @@ class TestXorHasMany:
         want = np.array([xf.has(v) for v in members + others])
         assert (got == want).all()
         assert got[:500].all()  # no false negatives on the build set
+
+
+class TestCustomHashing:
+    """Reference README "Seeding and Hashing" / tests/utils.test.ts:
+    117-130 — a user-supplied Hashing object (overridden serialize)
+    plugs into the double-hashed structures end-to-end."""
+
+    class OneHashing:
+        def __getattr__(self, name):  # defer to the base for the rest
+            from bloom_filters_ray.hashing import Hashing
+            return getattr(Hashing, name).__get__(self)
+
+        def serialize(self, element, seed=0):
+            from bloom_filters_ray.hashing import xxh64
+            return xxh64(element, (seed or 0) + 1)  # shifted family
+
+    def test_bloom_counting_partitioned_cms(self):
+        import numpy as np
+
+        from bloom_filters_ray.hashing import Hashing
+        from bloom_filters_ray.state.bloom import BloomFilter
+        from bloom_filters_ray.state.cms import CountMinSketch
+        from bloom_filters_ray.state.counting_bloom import \
+            CountingBloomFilter
+        from bloom_filters_ray.state.partitioned_bloom import \
+            PartitionedBloomFilter
+
+        items = [f"item-{i}" for i in range(300)]
+        h = self.OneHashing()
+        default = Hashing()
+
+        bf = BloomFilter(4096, 4, hasher=h)
+        bf.add_many(items)
+        assert bf.has_many(items).all()  # no false negatives, custom path
+        # the custom family produces different index sets
+        assert (h.get_indexes("item-0", 4096, 4)
+                != default.get_indexes("item-0", 4096, 4))
+        bf2 = BloomFilter(4096, 4)
+        bf2.add_many(items)
+        assert not bf.equals(bf2)  # different bit patterns
+
+        cb = CountingBloomFilter(4096, 4, hasher=h)
+        for it in items:
+            cb.add(it)
+        assert all(cb.has(it) for it in items)
+        cb.remove(items[0])
+
+        pb = PartitionedBloomFilter.create(300, 0.01)
+        pb._hasher = h
+        for it in items:
+            pb.add(it)
+        assert all(pb.has(it) for it in items)
+
+        cms = CountMinSketch.create(1e-3, hasher=h)
+        for it in items:
+            cms.update(it)
+        assert all(cms.count(it) >= 1 for it in items)
+
+    def test_default_hashing_matches_module_kernel(self):
+        from bloom_filters_ray.hashing import Hashing, get_indexes
+
+        h = Hashing()
+        assert h.get_indexes("abc", 1000, 7) == get_indexes("abc", 1000, 7)
+
+
+class TestCuckooReferenceMode:
+    def test_reference_indexing_verbatim(self):
+        """mode='reference' replays cuckoo-filter.ts:319-339 index
+        derivation: i1 = h % size, i2 = (h ^ hash(fp)) % size over the
+        exact (non power-of-two) table size."""
+        from bloom_filters_ray.hashing import xxh64
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter(15, 3, 2, mode="reference")
+        assert f.size == 15  # no power-of-two rounding
+        for e in ("alice", "bob", "carl"):
+            fp, i1, i2 = f._locations(e)
+            h = xxh64(e, f._seed)
+            assert fp == format(h, "x")[:3]
+            assert i1 == h % 15
+            assert i2 == (h ^ xxh64(fp, f._seed)) % 15
+            f.add(e)
+            assert f.has(e)
+
+    def test_reference_json_replays_in_reference_mode(self):
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter(15, 3, 2, mode="reference")
+        for e in ("alice", "bob", "carl", "dave"):
+            f.add(e)
+        data = f.save_as_json()
+        del data["_mode"]  # simulate a reference-library export
+        g = CuckooFilter.from_json(data)
+        assert g._mode == "reference"
+        assert g.size == 15
+        assert g.equals(f)
+        assert all(g.has(e) for e in ("alice", "bob", "carl", "dave"))
+
+    def test_standard_mode_unchanged(self):
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter(15, 3, 2)
+        assert f.size == 16  # rounded up, involution indexing
+        back = CuckooFilter.from_json(f.save_as_json())
+        assert back._mode == "standard"
+        assert back.equals(f)

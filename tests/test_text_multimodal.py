@@ -217,3 +217,19 @@ class TestShardedSubstring:
         assert want.equals(got)
         m = dict(zip(got.image_id, got.contained))
         assert m["i00"] and m["i04"] and m["i01"] and not m["i05"]
+
+
+class TestCorpusIO:
+    def test_format_dispatch(self, ray_session):
+        from bloom_filters_ray.sources.io import (detect_format,
+                                                  lance_available,
+                                                  read_corpus_table)
+
+        assert detect_format("/data/corpus.lance") == "lance"
+        assert detect_format(f"{SF}/documents.parquet") == "parquet"
+        ds = read_corpus_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "lang"])
+        assert set(ds.schema().names) == {"doc_id", "lang"}  # pruned read
+        if not lance_available():  # sandbox: lance absent -> clear error
+            with pytest.raises(ImportError):
+                read_corpus_table("/data/corpus.lance")
