@@ -223,6 +223,40 @@ def _get_cached_map(ref):
     return _MAP_CACHE[key]
 
 
+def assign_clusters_distributed(exact_ds, edges_ds, cfg: DedupConfig):
+    """Scale-path clustering + assignment: large/small-star contraction
+    keeps components as edge rows; assignment is a left-outer hash join
+    of the exact tier against the label Dataset — nothing lands on the
+    driver. Returns (assignments_ds, stats dict)."""
+    import pyarrow.compute as pc
+
+    from ..stages.cc import connected_components_distributed
+
+    labels = connected_components_distributed(edges_ds, cfg.partitions()) \
+        .rename_columns({"image_id": "cc_node",
+                         "cluster_id": "cc_root"}).materialize()
+    n_dup = labels.count()
+    n_components = labels.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.equal(t["cc_node"], t["cc_root"]),
+                                pa.int64())).as_py() or 0)])}),
+        batch_format="pyarrow").sum("n") or 0
+    joined = exact_ds.select_columns([cfg.id_col, "rep_id", "is_rep"]) \
+        .join(labels, "left_outer", cfg.partitions(),
+              on=("rep_id",), right_on=("cc_node",))
+
+    def finalize_assign(batch: pa.Table) -> pa.Table:
+        root = pc.coalesce(batch["cc_root"], batch["rep_id"])
+        out = batch.select([cfg.id_col, "rep_id", "is_rep"])
+        return out.append_column("cluster_id", root)
+
+    assignments = joined.map_batches(finalize_assign, batch_format="pyarrow")
+    return assignments, {
+        "n_dup_ids_in_components": n_dup,
+        "n_components": n_components,
+    }
+
+
 def _ckpt(ds, cfg: DedupConfig, name: str, ledger_col: str | None = None):
     """Materialize a stage — through a parquet checkpoint when
     configured (a resumed run reads it back instead of recomputing),
@@ -318,40 +352,13 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
     else:
         edges = verify_pairs_join(pairs, sigs, cfg)
     if cfg.cc == "distributed":
-        # scale path: large/small-star contraction keeps components as
-        # edge rows; assignment is a left-outer hash join of the exact
-        # tier against the label Dataset — nothing lands on the driver
-        import pyarrow.compute as pc
-
-        from ..stages.cc import connected_components_distributed
-
-        labels = connected_components_distributed(
-            edges.select_columns(["a", "b"]), cfg.partitions()) \
-            .rename_columns({"image_id": "cc_node",
-                             "cluster_id": "cc_root"}).materialize()
-        n_dup = labels.count()
-        n_components = labels.map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [int(pc.sum(pc.cast(pc.equal(t["cc_node"], t["cc_root"]),
-                                    pa.int64())).as_py() or 0)])}),
-            batch_format="pyarrow").sum("n") or 0
-        joined = exact.select_columns([cfg.id_col, "rep_id", "is_rep"]) \
-            .join(labels, "left_outer", cfg.partitions(),
-                  on=("rep_id",), right_on=("cc_node",))
-
-        def finalize_assign(batch: pa.Table) -> pa.Table:
-            root = pc.coalesce(batch["cc_root"], batch["rep_id"])
-            out = batch.select([cfg.id_col, "rep_id", "is_rep"])
-            return out.append_column("cluster_id", root)
-
-        assignments = joined.map_batches(finalize_assign,
-                                         batch_format="pyarrow")
+        assignments, cc_stats = assign_clusters_distributed(
+            exact, edges.select_columns(["a", "b"]), cfg)
         stats = {
             "n_input": n_input,
             "n_unique_captions": n_sigs,
             "n_edges": -1,  # not counted on this path
-            "n_dup_ids_in_components": n_dup,
-            "n_components": n_components,
+            **cc_stats,
         }
         return assignments, stats
 

@@ -147,6 +147,24 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
         batch_format="pyarrow", batch_size=None) \
         .select_columns(["a", "b"])
 
+    if ccfg.cc == "distributed":
+        # scale path: materialize each edge tier SEQUENTIALLY (one
+        # hash-shuffle operator per execution), then star-contract the
+        # union and assign via hash join — no driver state at all
+        from .dedup import assign_clusters_distributed
+
+        cap_m = cap_edges.materialize()
+        img_m = img_edges.materialize()
+        assignments, cc_stats = assign_clusters_distributed(
+            exact, cap_m.union(img_m), ccfg)
+        stats = {
+            "n_input": n_input,
+            "n_unique_pairs": n_reps,
+            "n_edges": -1,  # not counted on this path
+            **cc_stats,
+        }
+        return assignments, stats
+
     # executions 4+5: stream both edge tiers into the union-find.
     # Consumed sequentially, NOT as .union(...): one execution holding
     # two concurrent HashShuffleOperators deadlocks on aggregator-actor

@@ -72,3 +72,24 @@ class TestJoinVerificationPath:
         b = assignments.to_pandas().sort_values("image_id") \
             .reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestDistributedCCPath:
+    def test_distributed_cc_bit_equal_to_driver(self, full_result, ray_session):
+        """cc='distributed' on the flagship: star-contraction labels +
+        join assignment must match the driver union-find bit-for-bit."""
+        from bloom_filters_ray.pipelines.dedup import DedupConfig
+        from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                      full_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        df_b, _ = full_result
+        cfg = FullDedupConfig(caption=DedupConfig(cc="distributed"))
+        ds = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "caption", "phash"])
+        assignments, stats = full_dedup_pipeline(ds, cfg)
+        a = df_b.sort_values("image_id").reset_index(drop=True)
+        b = assignments.to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
+        assert a.equals(b)
+        assert stats["n_components"] > 0
