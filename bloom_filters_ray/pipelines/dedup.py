@@ -180,32 +180,19 @@ def connected_components(edges_iter) -> dict:
     return uf.components()
 
 
-def _comp_arrays(comp: dict) -> tuple[np.ndarray, np.ndarray]:
-    """Component map → (sorted key array, value array) for vectorized
-    searchsorted lookups inside workers."""
-    ks = np.asarray(list(comp.keys()))
-    vs = np.asarray(list(comp.values()))
-    order = np.argsort(ks, kind="stable")
-    return ks[order], vs[order]
-
-
 def assign_clusters(exact_ds, comp_map: dict, cfg: DedupConfig):
     """exact-tier output + component map → (id, rep_id, is_rep, cluster_id)."""
     import ray
 
-    from ..stages.neardup import map_values_with_identity
-
-    ref = ray.put(_comp_arrays(comp_map))
+    ref = ray.put((list(comp_map.keys()), list(comp_map.values())))
 
     def fn(batch: pa.Table) -> pa.Table:
-        ks, vs = _get_cached_map(ref)
+        mp = _get_cached_map(ref)
         reps = batch["rep_id"]
         if isinstance(reps, pa.ChunkedArray):
             reps = reps.combine_chunks()
-        cluster = map_values_with_identity(ks, vs, reps)
         out = batch.select([cfg.id_col, "rep_id", "is_rep"])
-        return out.append_column("cluster_id",
-                                 pa.array(cluster, type=reps.type))
+        return out.append_column("cluster_id", mp(reps))
 
     return exact_ds.map_batches(fn, batch_format="pyarrow")
 
@@ -214,12 +201,17 @@ _MAP_CACHE: dict = {}
 
 
 def _get_cached_map(ref):
+    """Worker-cached MapWithIdentity built from a broadcast
+    (keys, values) pair (hashed-key Arrow lookup, identity default)."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _MAP_CACHE:
         import ray
 
+        from ..stages.neardup import MapWithIdentity
+
+        ks, vs = ray.get(ref)
         _MAP_CACHE.clear()
-        _MAP_CACHE[key] = ray.get(ref)
+        _MAP_CACHE[key] = MapWithIdentity(ks, vs)
     return _MAP_CACHE[key]
 
 

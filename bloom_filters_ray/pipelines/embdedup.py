@@ -120,20 +120,17 @@ def embedding_dedup_pipeline(ds, cfg: EmbDedupConfig | None = None):
 
     # distributed assignment: broadcast the (small) component map and
     # label the id column per batch — no driver-held embedding table
-    from ..stages.neardup import map_values_with_identity
-    from .dedup import _comp_arrays, _get_cached_map
+    from .dedup import _get_cached_map
 
-    ref2 = ray.put(_comp_arrays(comp))
+    ref2 = ray.put((list(comp.keys()), list(comp.values())))
 
     def assign(batch: pa.Table) -> pa.Table:
-        ks, vs = _get_cached_map(ref2)
+        mp = _get_cached_map(ref2)
         ids = batch[cfg.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        cluster = map_values_with_identity(ks, vs, ids)
         return pa.Table.from_arrays(
-            [ids, pa.array(cluster, type=ids.type)],
-            names=[cfg.id_col, "cluster_id"])
+            [ids, mp(ids)], names=[cfg.id_col, "cluster_id"])
 
     assignments = ds.select_columns([cfg.id_col]).map_batches(
         assign, batch_format="pyarrow")

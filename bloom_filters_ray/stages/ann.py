@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import DEFAULT_SEED
-from .neardup import _cached_broadcast, lookup_positions
+from .neardup import _cached_broadcast
 
 
 def embedding_matrix(col, dim: int | None = None) -> np.ndarray:
@@ -59,7 +59,9 @@ def make_block_topk_fn(query_ref, k: int, id_col: str = "vec_id",
     (query_id, neighbor_id, sim) rows, k·n_queries per block max."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        q_ids, Q = _cached_broadcast(query_ref)  # Q: (q, d) normalized
+        from .sketch_aggs import _plain_fetch
+
+        q_ids, Q = _plain_fetch(query_ref)  # Q: (q, d) normalized
         q_id_arr = np.asarray(q_ids, dtype=np.int64)
         E = normalize_rows(embedding_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -189,10 +191,8 @@ def make_cosine_verifier(emb_ref, threshold: float, id_col: str = "vec_id"):
     exact cosine >= threshold, via broadcast (ids, normalized matrix)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sorted_ids, En = _cached_broadcast(emb_ref)
-        ia = lookup_positions(sorted_ids, batch["a"])
-        ib = lookup_positions(sorted_ids, batch["b"])
-        sim = np.einsum("ij,ij->i", En[ia], En[ib])
+        lk = _cached_broadcast(emb_ref)
+        sim = np.einsum("ij,ij->i", lk.rows(batch["a"]), lk.rows(batch["b"]))
         keep = sim >= threshold
         out = batch.filter(pa.array(keep))
         return out.append_column("sim", pa.array(sim[keep]))

@@ -257,60 +257,128 @@ def dedupe_pairs_block(batch: pa.Table) -> pa.Table:
 _WORKER_CACHE: dict = {}
 
 
-def _cached_broadcast(sig_ref):
-    """Worker-process-local cache of the broadcast (ids, matrix) lookup —
-    fetched once per worker (plasma shared memory), presorted by id so
-    per-batch lookups are one vectorized ``np.searchsorted`` instead of
-    a Python dict loop."""
+_LOOKUP_SEED = 0x5EED
+
+
+class _BroadcastLookup:
+    """Worker-local broadcast (ids, matrix) lookup. Keys are XXH64
+    hashes of the ids sorted as uint64 — per-batch lookups hash the
+    Arrow column vectorized and binary-search, no per-row Python and
+    no per-batch string materialization. If the id set has a 64-bit
+    hash collision (detected at build; ~n²/2⁶⁴) the structure falls
+    back to exact sorted-string search, so the fast path never trades
+    correctness. The matrix is NOT permuted — it stays the zero-copy
+    plasma-backed array; ``rows()`` gathers only the queried rows."""
+
+    def __init__(self, ids, matrix):
+        from ..hashing import xxh64_arrow
+
+        self.matrix = matrix
+        ids_arr = ids if isinstance(ids, pa.Array) else pa.array(ids)
+        if pa.types.is_string(ids_arr.type) or \
+                pa.types.is_large_string(ids_arr.type) or \
+                pa.types.is_binary(ids_arr.type):
+            h = xxh64_arrow(ids_arr, _LOOKUP_SEED)
+        else:
+            h = ids_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        if len(hs) > 1 and (hs[1:] == hs[:-1]).any():
+            # exact fallback: sorted original keys (string compares)
+            keys = np.asarray(ids_arr.to_pylist())
+            order = np.argsort(keys, kind="stable")
+            self._sorted = keys[order]
+            self._hashed = False
+        else:
+            self._sorted = hs
+            self._hashed = True
+        self._perm = order
+
+    def positions(self, col) -> np.ndarray:
+        """Matrix row index per id in *col*."""
+        from ..hashing import xxh64_arrow
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self._hashed:
+            if pa.types.is_string(col.type) or \
+                    pa.types.is_large_string(col.type) or \
+                    pa.types.is_binary(col.type):
+                keys = xxh64_arrow(col, _LOOKUP_SEED)
+            else:
+                keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            keys = np.asarray(col.to_pylist())
+        pos = np.searchsorted(self._sorted, keys)
+        pos = np.minimum(pos, len(self._sorted) - 1)
+        if len(keys) and not (self._sorted[pos] == keys).all():
+            raise KeyError("id missing from broadcast lookup table")
+        return self._perm[pos]
+
+    def rows(self, col) -> np.ndarray:
+        return self.matrix[self.positions(col)]
+
+
+def _cached_broadcast(sig_ref) -> _BroadcastLookup:
+    """Fetch-once-per-worker broadcast lookup (plasma shared memory)."""
     key = sig_ref.hex() if hasattr(sig_ref, "hex") else id(sig_ref)
     hit = _WORKER_CACHE.get(key)
     if hit is None:
         import ray
 
         ids, sigs = ray.get(sig_ref)
-        ids_np = np.asarray(ids)  # list[str] → <U dtype, ints → int64
-        order = np.argsort(ids_np, kind="stable")
-        hit = (ids_np[order], sigs[order])
+        hit = _BroadcastLookup(ids, sigs)
         _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = hit
     return hit
 
 
-def lookup_positions(sorted_ids: np.ndarray, col) -> np.ndarray:
-    """Vectorized id → row-position lookup against a sorted id array
-    (the second half of the broadcast-verification fast path)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    keys = col.to_numpy(zero_copy_only=False)
-    if sorted_ids.dtype.kind in "US":
-        keys = np.asarray(keys, dtype=str)
-    else:
-        keys = keys.astype(sorted_ids.dtype, copy=False)
-    pos = np.searchsorted(sorted_ids, keys)
-    pos = np.minimum(pos, len(sorted_ids) - 1)
-    if len(keys) and not (sorted_ids[pos] == keys).all():
-        raise KeyError("id missing from broadcast lookup table")
-    return pos
+class MapWithIdentity:
+    """Vectorized ``{k: v}.get(x, x)`` over Arrow columns: keys are
+    hashed to sorted uint64 (one vectorized XXH64 pass per batch, no
+    per-batch string materialization); candidate hits are confirmed
+    with an exact Arrow string compare, so hash collisions cannot
+    mis-map; output is composed with C++ take/if_else kernels."""
 
+    def __init__(self, keys, values):
+        from ..hashing import xxh64_arrow
 
-def map_values_with_identity(sorted_keys: np.ndarray, values: np.ndarray,
-                             col) -> np.ndarray:
-    """Vectorized ``{k: v}.get(x, x)`` over a column against a sorted
-    key array — the assignment-map twin of ``lookup_positions``."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    keys = col.to_numpy(zero_copy_only=False)
-    if len(sorted_keys) == 0 or len(keys) == 0:
-        return keys
-    if sorted_keys.dtype.kind in "US":
-        keys = np.asarray(keys, dtype=str)
-    else:
-        keys = keys.astype(sorted_keys.dtype, copy=False)
-    pos = np.minimum(np.searchsorted(sorted_keys, keys),
-                     len(sorted_keys) - 1)
-    hit = sorted_keys[pos] == keys
-    # np.where promotes to the wider string dtype of the two sides
-    return np.where(hit, values[pos], keys)
+        self.keys = keys if isinstance(keys, pa.Array) else pa.array(keys)
+        self.values = values if isinstance(values, pa.Array) \
+            else pa.array(values)
+        if len(self.keys) and (pa.types.is_string(self.keys.type)
+                               or pa.types.is_large_string(self.keys.type)
+                               or pa.types.is_binary(self.keys.type)):
+            h = xxh64_arrow(self.keys, _LOOKUP_SEED)
+            self._string = True
+        else:
+            h = self.keys.to_numpy(zero_copy_only=False).astype(np.uint64) \
+                if len(self.keys) else np.empty(0, dtype=np.uint64)
+            self._string = False
+        self._perm = np.argsort(h, kind="stable")
+        self._sorted = h[self._perm]
+
+    def __call__(self, col) -> pa.Array:
+        import pyarrow.compute as pc
+
+        from ..hashing import xxh64_arrow
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(self._sorted) == 0 or len(col) == 0:
+            return col
+        if self._string:
+            h = xxh64_arrow(col, _LOOKUP_SEED)
+        else:
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.minimum(np.searchsorted(self._sorted, h),
+                         len(self._sorted) - 1)
+        hit = self._sorted[pos] == h
+        idx = pa.array(self._perm[pos])
+        # exact confirmation kills 64-bit collisions on missing keys
+        confirmed = pc.and_(pa.array(hit),
+                            pc.equal(col, self.keys.take(idx)))
+        return pc.if_else(confirmed, self.values.take(idx), col)
 
 
 def make_broadcast_verifier(sig_ref, threshold: float):
@@ -323,10 +391,8 @@ def make_broadcast_verifier(sig_ref, threshold: float):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        sorted_ids, sigs = _cached_broadcast(sig_ref)
-        ia = lookup_positions(sorted_ids, batch["a"])
-        ib = lookup_positions(sorted_ids, batch["b"])
-        sim = (sigs[ia] == sigs[ib]).mean(axis=1)
+        lk = _cached_broadcast(sig_ref)
+        sim = (lk.rows(batch["a"]) == lk.rows(batch["b"])).mean(axis=1)
         keep = sim >= threshold
         out = batch.filter(pa.array(keep))
         return out.append_column("sim", pa.array(sim[keep]))

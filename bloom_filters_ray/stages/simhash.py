@@ -275,13 +275,11 @@ def make_hamming_verifier(code_ref, max_distance: int,
     """map_batches fn over candidate (a, b) pairs: keep pairs whose
     codes are within *max_distance* Hamming bits, using a broadcast
     (ids, codes) lookup (``ray.put`` once; cached per worker)."""
-    from .neardup import _cached_broadcast, lookup_positions
+    from .neardup import _cached_broadcast
 
     def fn(batch: pa.Table) -> pa.Table:
-        sorted_ids, codes = _cached_broadcast(code_ref)
-        ia = lookup_positions(sorted_ids, batch["a"])
-        ib = lookup_positions(sorted_ids, batch["b"])
-        dist = hamming64(codes[ia], codes[ib])
+        lk = _cached_broadcast(code_ref)
+        dist = hamming64(lk.rows(batch["a"]), lk.rows(batch["b"]))
         keep = dist <= max_distance
         out = batch.filter(pa.array(keep))
         return out.append_column("hamming", pa.array(dist[keep]))
