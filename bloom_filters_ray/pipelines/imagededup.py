@@ -45,6 +45,7 @@ class ImageDedupConfig:
     max_bucket: int = 128
     seed: int = DEFAULT_SEED
     num_partitions: int | None = None
+    cc: str = "driver"  # "driver" union-find | "distributed" star contraction
 
     def partitions(self) -> int:
         if self.num_partitions is not None:
@@ -105,6 +106,21 @@ def image_dedup_pipeline(ds, cfg: ImageDedupConfig | None = None):
         .select_columns([cfg.id_col, cfg.code_col]).materialize()
 
     edges = image_edges(reps, cfg)
+
+    if cfg.cc == "distributed":
+        from .dedup import DedupConfig, assign_clusters_distributed
+
+        acfg = DedupConfig(id_col=cfg.id_col,
+                           num_partitions=cfg.num_partitions)
+        assignments, cc_stats = assign_clusters_distributed(
+            exact, edges.select_columns(["a", "b"]), acfg)
+        stats = {
+            "n_input": n_input,
+            "n_unique_payloads": reps.count(),
+            "n_edges": -1,  # not counted on this path
+            **cc_stats,
+        }
+        return assignments, stats
 
     uf = UnionFind()
     n_edges = 0

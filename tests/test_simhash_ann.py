@@ -195,3 +195,18 @@ class TestEmbJoinPath:
         d2 = a2.to_pandas().sort_values("emb_id").reset_index(drop=True)
         assert d1.equals(d2)
         assert s1["n_components"] == s2["n_components"]
+
+
+class TestImageDedupDistributedCC:
+    def test_distributed_cc_matches_driver(self, ray_session):
+        from bloom_filters_ray.pipelines.imagededup import (
+            ImageDedupConfig, image_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        ds = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "phash"])
+        a1, _ = image_dedup_pipeline(ds, ImageDedupConfig())
+        a2, _ = image_dedup_pipeline(ds, ImageDedupConfig(cc="distributed"))
+        d1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert d1.equals(d2)
