@@ -419,14 +419,17 @@ def q_ngram_jaccard(sf_dir: str):
         fa, oa = unique_per_row(*shingle_hashes(cap_a, k=1))
         fb, ob = unique_per_row(*shingle_hashes(cap_b, k=1))
         na, nb = np.diff(oa), np.diff(ob)
-        # union per row = distinct of the concatenation
+        # union per row = distinct of the concatenation (segmented
+        # scatter, no row loop)
         n = len(na)
         cat = np.empty(oa[-1] + ob[-1], dtype=np.uint64)
         oc = np.zeros(n + 1, dtype=np.int64)
         oc[1:] = np.cumsum(na + nb)
-        for i in range(n):  # cheap row loop over slice copies only
-            cat[oc[i] : oc[i] + na[i]] = fa[oa[i] : oa[i + 1]]
-            cat[oc[i] + na[i] : oc[i + 1]] = fb[ob[i] : ob[i + 1]]
+        row_a = np.repeat(np.arange(n), na)
+        cat[oc[:-1][row_a] + (np.arange(oa[-1]) - oa[:-1][row_a])] = fa
+        row_b = np.repeat(np.arange(n), nb)
+        cat[oc[:-1][row_b] + na[row_b]
+            + (np.arange(ob[-1]) - ob[:-1][row_b])] = fb
         _, ou = unique_per_row(cat, oc)
         u = np.diff(ou)
         inter = na + nb - u
