@@ -207,12 +207,15 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """North-rule scaling evidence: same job, fresh processes, 8 vs 32
+    """North-rule scaling evidence: same job, fresh processes, N vs 4N
     CPUs (sandbox stand-in for N vs 4N nodes), identical input and
-    partitioning."""
+    partitioning. Legs are INTERLEAVED (lo, hi, lo, hi) and the best
+    throughput per leg is kept: this host's performance drifts ±50%
+    over tens of minutes, so back-to-back single legs measure drift,
+    not scaling (BASELINE.md records the drift probes)."""
     lo, hi = SCALE_N, 4 * SCALE_N
-    out = {}
-    for cpus in (lo, hi):
+    best: dict[int, dict] = {}
+    for cpus in (lo, hi, lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                    BENCH_COPIES=str(SCALING_COPIES),
                    BENCH_PARTITIONS=str(PARTITIONS))
@@ -220,20 +223,23 @@ def run_scaling(sf_dir: str) -> dict:
             [sys.executable, os.path.abspath(__file__), "--child",
              "full_neardup"],
             env=env, capture_output=True, text=True, check=True)
-        out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    thr_lo = out[lo]["throughput"]["full_neardup"]
-    thr_hi = out[hi]["throughput"]["full_neardup"]
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        if cpus not in best or (res["throughput"]["full_neardup"]
+                                > best[cpus]["throughput"]["full_neardup"]):
+            best[cpus] = res
+    thr_lo = best[lo]["throughput"]["full_neardup"]
+    thr_hi = best[hi]["throughput"]["full_neardup"]
     eff = (thr_hi / thr_lo) / 4.0
     return {
         "metric": f"scaling efficiency (throughput ratio / cpu ratio, {lo}→{hi} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {f"full_neardup_{lo}cpu_sec": out[lo]["queries"]["full_neardup"],
-                    f"full_neardup_{hi}cpu_sec": out[hi]["queries"]["full_neardup"]},
+        "queries": {f"full_neardup_{lo}cpu_sec": best[lo]["queries"]["full_neardup"],
+                    f"full_neardup_{hi}cpu_sec": best[hi]["queries"]["full_neardup"]},
         "throughput_rows_per_sec": {f"cpus_{lo}": thr_lo, f"cpus_{hi}": thr_hi},
         "sf": sf_dir,
         "num_cpus": hi,
-        "rows": out[hi]["rows"],
+        "rows": best[hi]["rows"],
         "copies": SCALING_COPIES,
     }
 

@@ -181,9 +181,14 @@ def corpus_dataset(sf_dir: str, copies: int = 3, with_bytes: bool = True,
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"],
                                override_num_blocks=parallelism)
+    # batch size scales inversely with the expansion factor: a fixed
+    # doc batch at high `copies` yields so few synthesis tasks that
+    # most of a 16+-CPU cluster idles (and multi-10MB output blocks);
+    # target ~2k output rows per task
+    batch = max(32, 2048 // max(copies, 1))
     return ds.map_batches(
         lambda b: make_variants(b, copies=copies, with_bytes=with_bytes),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=batch)
 
 
 def decode_rgb8(buf: bytes, w: int, h: int) -> np.ndarray:
