@@ -488,10 +488,10 @@ def make_short_probe_fn(short_ref, id_col: str = "image_id",
     broadcast short caption (below the winnowing guarantee threshold),
     emit (short_id, 1) if it occurs inside any OTHER caption in this
     block. One vectorized match_substring pass per short caption."""
-    from .neardup import _cached_broadcast
+    from .sketch_aggs import _plain_fetch
 
     def fn(batch: pa.Table) -> pa.Table:
-        sids, scaps = _cached_broadcast(short_ref)
+        sids, scaps = _plain_fetch(short_ref)
         ids = _combine(batch[id_col])
         caps = _combine(batch[text_col])
         out = []
