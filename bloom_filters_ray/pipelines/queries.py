@@ -508,6 +508,29 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate cosine top-10 for the first 5 query vectors:
+    sampled-kmeans coarse quantizer → centroid-keyed inverted-list
+    repartition → per-block nprobe-list scans → driver merge of tiny
+    partials (stages/ann.py: ivf_topk). Approximate by design
+    (rows-only check); recall vs the exact brute force rises with
+    nprobe and is pinned in tests/test_simhash_ann.py (0.94 at
+    nprobe=12/16, exact at full probe)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import embedding_matrix, ivf_topk
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               override_num_blocks=8)
+    return ivf_topk(ds, qt["vec_id"].to_numpy(), Q, k=10,
+                    n_centroids=32, nprobe=8)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup clustering over the planted-near-dup
     embedding corpus (projection-LSH bands + exact cosine verify)."""
@@ -556,6 +579,7 @@ QUERIES = {
     "seenset_mark": q_seenset_mark,
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "image_neardup": q_image_neardup,
 }

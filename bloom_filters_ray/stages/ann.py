@@ -150,6 +150,142 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return _PLANES[key]
 
 
+def train_centroids(ds, n_centroids: int, dim: int | None = None,
+                    emb_col: str = "embedding", sample_rows: int = 65536,
+                    iters: int = 10, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Coarse IVF quantizer: k-means on a bounded SAMPLE of the
+    dataset (Lloyd iterations on the driver over ≤ sample_rows rows —
+    the classic IVF training recipe; the full corpus never leaves the
+    cluster). Returns a row-normalized (k, d) centroid matrix."""
+    sample = ds.limit(sample_rows)
+    tbl = pa.concat_tables(list(sample.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")))
+    X = normalize_rows(embedding_matrix(tbl[emb_col], dim))
+    rng = np.random.default_rng(seed & ((1 << 63) - 1))
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized rows
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = normalize_rows(C)
+    return C
+
+
+def make_ivf_assign_fn(centroid_ref, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       dim: int | None = None):
+    """map_batches fn: (id, embedding) → (list_id, id, embedding) rows,
+    list_id = nearest centroid (broadcast matrix, one matmul/batch).
+    The list_id keys the IVF inverted-list repartition."""
+    from .sketch_aggs import _plain_fetch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = _plain_fetch(centroid_ref)
+        E = normalize_rows(embedding_matrix(batch[emb_col], dim))
+        lists = np.argmax(E @ C.T, axis=1).astype(np.int64)
+        out = batch.select([id_col, emb_col])
+        return out.add_column(0, "list_id", pa.array(lists))
+
+    return fn
+
+
+def make_ivf_probe_fn(centroid_ref, query_ref, k: int, nprobe: int,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      dim: int | None = None, exclude_self: bool = True):
+    """Whole-block fn over list_id-partitioned rows: for each query,
+    scan ONLY the rows of its *nprobe* nearest inverted lists present
+    in this block and emit block-local top-k partials — the IVF
+    approximate-search recipe (probe a few lists, not the corpus)."""
+    from .sketch_aggs import _plain_fetch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = _plain_fetch(centroid_ref)
+        q_ids, Q = _plain_fetch(query_ref)  # Q normalized (q, d)
+        q_id_arr = np.asarray(q_ids, dtype=np.int64)
+        probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = normalize_rows(embedding_matrix(batch[emb_col], dim))
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_id_arr)):
+            mask = np.isin(lists, probe[qi])
+            if not mask.any():
+                continue
+            sims = E[mask] @ Q[qi]
+            cand_ids = ids[mask]
+            if exclude_self:
+                sims = np.where(cand_ids == q_id_arr[qi], -np.inf, sims)
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            keep = np.isfinite(sims[top])
+            out_q.append(np.full(int(keep.sum()), q_id_arr[qi]))
+            out_n.append(cand_ids[top][keep])
+            out_s.append(sims[top][keep])
+        if not out_q:
+            e = pa.array([], type=pa.int64())
+            return pa.Table.from_arrays(
+                [e, e, pa.array([], type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"])
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)),
+             pa.array(np.concatenate(out_n)),
+             pa.array(np.concatenate(out_s))],
+            names=["query_id", "neighbor_id", "sim"])
+
+    return fn
+
+
+def ivf_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
+             n_centroids: int = 64, nprobe: int = 8,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             num_partitions: int = 8, exclude_self: bool = True,
+             seed: int = DEFAULT_SEED) -> pa.Table:
+    """IVF approximate top-k: train a coarse quantizer on a sample,
+    partition the corpus into centroid-keyed inverted lists (one keyed
+    shuffle — at scale each list is a persistent partition reused
+    across query batches), probe each query's nprobe nearest lists per
+    block, merge tiny partials on the driver. Recall is tunable via
+    nprobe (nprobe == n_centroids degenerates to exact brute force).
+    """
+    import ray
+
+    from ..util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    C = train_centroids(ds, n_centroids, emb_col=emb_col, seed=seed)
+    cref = ray.put(C)
+    qref = ray.put((list(np.asarray(query_ids, dtype=np.int64)),
+                    normalize_rows(np.asarray(Q, dtype=np.float64))))
+    lists = ds.map_batches(
+        make_ivf_assign_fn(cref, id_col, emb_col), batch_format="pyarrow")
+    lists = lists.repartition(num_partitions, keys=["list_id"])
+    partials = lists.map_batches(
+        make_ivf_probe_fn(cref, qref, k, nprobe, id_col, emb_col,
+                          exclude_self=exclude_self),
+        batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(list(partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")))
+    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    si = tbl["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ni, -si, qi))
+    qi, ni, si = qi[order], ni[order], si[order]
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(qi)), 0))
+    rank = np.arange(len(qi)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qi[keep]),
+        "neighbor_id": pa.array(ni[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
+
+
 def make_norm_vec_binary_fn(id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             dim: int | None = None):

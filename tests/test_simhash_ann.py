@@ -210,3 +210,47 @@ class TestImageDedupDistributedCC:
         d1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
         d2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
         assert d1.equals(d2)
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        """IVF recall rises with nprobe (this embedding corpus has
+        weak cluster structure, so partial probes trade recall for
+        scan fraction) and degenerates to EXACT at full probe."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (brute_force_topk,
+                                                  embedding_matrix,
+                                                  ivf_topk)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        qt = pq.read_table(f"{SF}/embeddings.parquet",
+                           filters=[("vec_id", "<", 10)])
+        Q = embedding_matrix(qt["embedding"])
+        qids = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                   override_num_blocks=8).materialize()
+        exact = brute_force_topk(ds, qids, Q, k=10).to_pandas()
+
+        def recall(nprobe):
+            ap = ivf_topk(ds, qids, Q, k=10, n_centroids=16,
+                          nprobe=nprobe, num_partitions=4).to_pandas()
+            hits = 0
+            for qi in qids:
+                want = set(exact[exact.query_id == qi].neighbor_id)
+                got = set(ap[ap.query_id == qi].neighbor_id)
+                hits += len(want & got) / max(len(want), 1)
+            return hits / len(qids)
+
+        r6, r12 = recall(6), recall(12)
+        assert r6 >= 0.6, r6          # measured 0.73 (deterministic)
+        assert r12 >= 0.9, r12        # measured 0.94
+        assert r12 >= r6
+        # full probe == exact
+        full = ivf_topk(ds, qids, Q, k=10, n_centroids=16,
+                        nprobe=16, num_partitions=4).to_pandas()
+        e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert e.equals(f)
