@@ -81,6 +81,16 @@ def q_token_stats(sf_dir: str):
     return ds.map_batches(make_token_stats_fn(), batch_format="pyarrow")
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish token counts per image (GPT-2-style pre-tokenization
+    classes, one vectorized RE2 pass) — both this and the DuckDB
+    oracle run the same RE2 pattern, so counts match exactly."""
+    from ..stages.textstats import make_bpe_count_fn
+
+    ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
+    return ds.map_batches(make_bpe_count_fn(), batch_format="pyarrow")
+
+
 def q_lang_counts(sf_dir: str):
     """Plain-table groupby: documents per language tag."""
     return _docs(sf_dir, columns=["lang"]).groupby("lang").count() \
@@ -129,6 +139,14 @@ ORACLES: dict[str, str] = {
         FROM corpus
     """,
     "lang_counts": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+    "bpe_token_stats": f"""
+        WITH {CORPUS_SQL}
+        SELECT image_id,
+               CAST(len(regexp_extract_all(caption,
+                    ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM corpus
+    """,
     "bloom_members": f"""
         WITH {CORPUS_SQL}
         SELECT image_id, TRUE AS present FROM corpus
@@ -561,6 +579,7 @@ QUERIES = {
     "distinct_captions": q_distinct_captions,
     "token_stats": q_token_stats,
     "lang_counts": q_lang_counts,
+    "bpe_token_stats": q_bpe_token_stats,
     "bloom_members": q_bloom_members,
     "neardup_clusters": q_neardup_clusters,
     "full_neardup": q_full_neardup,

@@ -181,6 +181,30 @@ def make_quality_fn(id_col: str = "image_id", text_col: str = "caption",
     return fn
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct
+# classes, RE2-compatible — no lookaheads, so Arrow and DuckDB agree
+# match-for-match). ASCII classes keep the SQL oracle twin exact.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def make_bpe_count_fn(id_col: str = "image_id", text_col: str = "caption"):
+    """(id, text) → (id, n_bpe_tokens): BPE-ish token count via one
+    vectorized RE2 pass (`pc.count_substring_regex`) — the
+    tokenizer-budget estimator of a training-data pipeline, without
+    needing a vocab file."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = pc.cast(pc.count_substring_regex(texts, pattern=BPE_PATTERN),
+                    pa.int64())
+        return pa.Table.from_arrays(
+            [batch[id_col], n], names=[id_col, "n_bpe_tokens"])
+
+    return fn
+
+
 def make_fingerprint_fn(id_col: str = "image_id", text_col: str = "caption",
                         k: int = 3, window: int = 4, seed: int = DEFAULT_SEED):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
