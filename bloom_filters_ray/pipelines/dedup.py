@@ -292,10 +292,18 @@ def _ckpt(ds, cfg: DedupConfig, name: str, ledger_col: str | None = None):
             ds = ds.materialize()
             ds.write_parquet(path)
             n = ds.count()
+            try:  # per-partition lineage: rows per written block
+                partition_rows = [
+                    int(m.num_rows) for bundle in
+                    ds.iter_internal_ref_bundles() for m in bundle.metadata
+                    if m.num_rows is not None]
+            except Exception:  # noqa: BLE001 - metadata probe only
+                partition_rows = None
             metrics = {
                 "stage": name,
                 "rows": n,
                 "blocks": ds.num_blocks(),
+                "partition_rows": partition_rows,
                 "wall_seconds": round(_time.perf_counter() - t0, 3),
                 "config": snapshot,
             }
