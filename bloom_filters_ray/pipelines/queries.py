@@ -340,6 +340,40 @@ def q_image_simhash(sf_dir: str):
                           batch_size=256)
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash caption near-dup clustering: exact tier → 64-bit text
+    SimHash codes → pigeonhole Hamming banding (codes travel with band
+    rows, in-bucket vectorized verification ≤ 7 bits — the 8-band
+    pigeonhole guarantee) → distributed star-contraction labels → join
+    assignment. The text-side twin of the phash image tier — one
+    shuffle for the exact tier, one for the band buckets, nothing
+    driver-side. SimHash is deliberately tighter than the MinHash
+    tier: it catches small token-level edits (~91%% of the planted
+    drop-last-word variants here), while MinHash/LSH covers the
+    Jaccard ≥ 0.8 range — the engine ships both."""
+    from ..stages.simhash import (make_bucket_hamming_emitter,
+                                  make_code_band_rows_with_code,
+                                  make_text_simhash_fn)
+    from .dedup import assign_clusters_distributed, exact_tier
+
+    cfg = DedupConfig()
+    ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
+        ["image_id", "caption"])
+    exact = exact_tier(ds, cfg).materialize()
+    reps = exact.filter(expr="is_rep == True") \
+        .select_columns(["image_id", "caption"])
+    codes = reps.map_batches(make_text_simhash_fn(), batch_format="pyarrow")
+    bands = codes.map_batches(
+        make_code_band_rows_with_code("simhash", cfg.id_col, 8, cfg.seed),
+        batch_format="pyarrow")
+    bands = bands.repartition(cfg.partitions(), keys=["band_key"])
+    edges = bands.map_batches(
+        make_bucket_hamming_emitter(cfg.id_col, max_distance=7),
+        batch_format="pyarrow", batch_size=None).select_columns(["a", "b"])
+    assignments, _ = assign_clusters_distributed(exact, edges, cfg)
+    return assignments
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream table:
     count + exact integer-cents sum per (window, event_type). Sums in
@@ -590,6 +624,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "quality_components": q_quality_components,
     "text_simhash": q_text_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "image_simhash": q_image_simhash,
     "events_window": q_events_window,
     "xor_members": q_xor_members,

@@ -254,3 +254,25 @@ class TestIVF:
         e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
         f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert e.equals(f)
+
+
+class TestSimhashNeardup:
+    def test_planted_near_dups_clustered(self, ray_session):
+        """The SimHash caption tier clusters the planted near-dup
+        variant (caption minus last word) with its original for most
+        docs (91% of planted pairs fall within the 8-band pigeonhole
+        guarantee of Hamming <= 7; measured deterministically)."""
+        from bloom_filters_ray.pipelines.queries import q_simhash_neardup
+
+        df = q_simhash_neardup(SF).to_pandas()
+        assert len(df) == 1500
+        d = df.copy()
+        d["doc"] = d.image_id.str.slice(4, 12)
+        d["v"] = d.image_id.str.slice(13).astype(int)
+        base = d[d.v == 0].set_index("doc").cluster_id
+        near = d[d.v == 2].set_index("doc").cluster_id
+        recall = (base.loc[near.index] == near).mean()
+        assert recall >= 0.88, recall  # measured 0.912
+        # exact duplicates always share a cluster (same rep)
+        v1 = d[d.v == 1].set_index("doc").cluster_id
+        assert (base.loc[v1.index] == v1).all()
