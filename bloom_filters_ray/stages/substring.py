@@ -35,9 +35,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..hashing import DEFAULT_SEED, xxh64_u64
+
+# rolling-hash parameters shared by the containment kernel and the
+# short-caption probe: window hash h(s, L) = sum_u text[s+u] * Binv^u
+# (position-independent; uint64 wraparound is the modulus)
+_B = np.uint64(0x9E3779B97F4A7C15)
+_BINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
@@ -83,31 +88,28 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     return sa
 
 
-def lcp_array(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i]); lcp[0]=0.
-
-    O(n) with a Python loop over positions — adequate for per-partition
-    caption blocks; swap in a compiled SA/LCP for very large shards.
+def _hash_match_candidates(ww: np.ndarray, qh: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """All (position, query) pairs where window hash ``ww[pos]`` equals
+    a query hash ``qh[q]`` — one sorted-side binary search over the
+    (small) query set per position, never a per-query scan of ``ww``.
+    Returns (positions, query indices), expanded for hash multiplicity.
     """
-    n = len(text)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
-    h = 0
-    t = text
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            m = n - max(i, j)
-            while h < m and t[i + h] == t[j + h]:
-                h += 1
-            lcp[r] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
-    return lcp
+    order = np.argsort(qh, kind="stable")
+    qs = qh[order]
+    lo = np.searchsorted(qs, ww, side="left")
+    hi = np.searchsorted(qs, ww, side="right")
+    cnt = hi - lo
+    pos = np.flatnonzero(cnt > 0)
+    if not len(pos):
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    c = cnt[pos]
+    tot = int(c.sum())
+    posr = np.repeat(pos, c)
+    first = np.concatenate(([0], np.cumsum(c)[:-1]))
+    within = np.arange(tot, dtype=np.int64) - np.repeat(first, c)
+    qsel = order[np.repeat(lo[pos], c) + within]
+    return posr, qsel
 
 
 def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
@@ -141,26 +143,37 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     ends = starts + lens
     total = int(lens.sum())
+    if total >= (1 << 32):
+        # candidate combos pack (hash32 << 32 | position) into uint64
+        # and freq32 indexes positions with uint32 — a partition this
+        # large would silently corrupt positions. Fail loud; the caller
+        # must raise the partition count (substring_flags_sharded sizes
+        # partitions well below this, but key skew could breach it).
+        raise ValueError(
+            f"substring partition holds {total} caption bytes >= 2^32; "
+            "increase the partition count (positions pack into 32 bits)")
     text = np.empty(total, dtype=np.uint8)
     for j, i in enumerate(perm):
         text[starts[j] : starts[j] + lens[j]] = \
             np.frombuffer(captions[i], dtype=np.uint8)
 
-    # rolling-hash parameters: window hash h(s, L) = sum_u
-    # text[s+u] * Binv^u  (position independent; uint64 wrap)
-    B = np.uint64(0x9E3779B97F4A7C15)
-    Binv = np.uint64(pow(int(B), -1, 1 << 64))
+    B, Binv = _B, _BINV
 
     def row_at(pos: np.ndarray) -> np.ndarray:
         return np.searchsorted(ends, pos, side="right")
 
     def direct_hash(s: np.ndarray, L: int) -> np.ndarray:
-        """h(s, L) by direct evaluation — for small position sets."""
+        """h(s, L) by direct evaluation — for small position sets.
+        Binv powers come from an array cumprod (mod-2^64 wraparound is
+        intentional; scalar uint64 multiplies would spam
+        RuntimeWarnings and cost time in a hot per-task kernel)."""
+        pows = np.empty(max(L, 1), dtype=np.uint64)
+        pows[0] = 1
+        if L > 1:
+            np.cumprod(np.full(L - 1, Binv, dtype=np.uint64), out=pows[1:])
         acc = np.zeros(len(s), dtype=np.uint64)
-        w = np.uint64(1)
         for u in range(L):
-            acc += text[s + u].astype(np.uint64) * w
-            w = w * Binv
+            acc += text[s + u].astype(np.uint64) * pows[u]
         return acc
 
     cand_pos: list[np.ndarray] = []
@@ -229,8 +242,11 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
             seg = freq32[starts[r] : ends[r] - A + 1]
             anchor[j] = starts[r] + int(np.argmin(seg))
         ah32 = (direct_hash(anchor, A) >> np.uint64(32)).astype(np.uint64)
-        lo = np.searchsorted(combo, ah32 << np.uint64(32))
-        hi = np.searchsorted(combo, (ah32 + np.uint64(1)) << np.uint64(32))
+        # h32 is nondecreasing (combo is sorted, h32 is its top field) —
+        # search it directly: packing (ah32+1)<<32 would wrap to 0 for
+        # ah32 == 0xFFFFFFFF and make hi < lo (negative repeat counts)
+        lo = np.searchsorted(h32, ah32, side="left")
+        hi = np.searchsorted(h32, ah32, side="right")
         cnt = hi - lo
         rowidx = np.repeat(np.arange(len(long_rows)), cnt)
         first = np.concatenate(([0], np.cumsum(cnt)[:-1]))
@@ -248,7 +264,10 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
         cand_pos.append(p[ok])
         cand_row.append(rows[ok])
 
-    # short rows (1..31 bytes): per-length rolling scans (rare rows)
+    # short rows (1..31 bytes): per-length rolling scans. One pass over
+    # the window hashes per DISTINCT length (<= 31 passes), candidates
+    # via a sorted-query-hash binary search — never an O(n_short *
+    # corpus) per-row scan (final byte-verify stays collision-proof).
     short_lens = np.unique(lens[(lens > 0) & (lens < A)])
     if len(short_lens):
         powBinv_full = np.concatenate(
@@ -270,14 +289,16 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
             ww = (C[L : L + nwL] - C[:nwL]) * powB_full[:nwL]
             hvals = (C[starts[rows_L] + L] - C[starts[rows_L]]) \
                 * powB_full[starts[rows_L]]
-            for j, r in enumerate(rows_L):
-                pr = np.flatnonzero(ww == hvals[j])
-                rr_ = row_at(pr)
-                pr = pr[(rr_ != r) & (pr >= starts[rr_])
-                        & (pr + L <= ends[rr_])]
-                if len(pr):
-                    cand_pos.append(pr)
-                    cand_row.append(np.full(len(pr), r, dtype=np.int64))
+            posr, qsel = _hash_match_candidates(ww, hvals)
+            if not len(posr):
+                continue
+            r = rows_L[qsel]
+            rr_ = row_at(posr)
+            keep = (rr_ != r) & (posr >= starts[rr_]) \
+                & (posr + L <= ends[rr_])
+            if keep.any():
+                cand_pos.append(posr[keep])
+                cand_row.append(r[keep])
 
     if cand_pos:
         p = np.concatenate(cand_pos)
@@ -482,24 +503,108 @@ def make_bucket_flags_fn(id_col: str = "image_id",
     return fn
 
 
+def _short_side(shorts: pa.Table, id_col: str, text_col: str):
+    """Broadcast payload for the short-caption probe: ids, the shorts'
+    concatenated utf-8 bytes, and per-distinct-length groups of
+    (L, short indices, rolling hashes, byte starts) — hashes are
+    precomputed ONCE here, not per probed block."""
+    sids = [str(s) for s in shorts[id_col].to_pylist()]
+    caps = [str(c).encode("utf-8") for c in shorts[text_col].to_pylist()]
+    slens = np.array([len(c) for c in caps], dtype=np.int64)
+    sstarts = np.concatenate(([0], np.cumsum(slens)))[:-1]
+    sbuf = (np.frombuffer(b"".join(caps), dtype=np.uint8)
+            if caps else np.empty(0, dtype=np.uint8))
+    groups: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+    maxL = int(slens.max()) if len(slens) else 0
+    if maxL:
+        pows = np.empty(maxL, dtype=np.uint64)
+        pows[0] = 1
+        if maxL > 1:
+            np.cumprod(np.full(maxL - 1, _BINV, dtype=np.uint64),
+                       out=pows[1:])
+        for L in np.unique(slens[slens > 0]):
+            L = int(L)
+            idx = np.flatnonzero(slens == L)
+            st = sstarts[idx]
+            acc = np.zeros(len(idx), dtype=np.uint64)
+            for u in range(L):
+                acc += sbuf[st + u].astype(np.uint64) * pows[u]
+            groups.append((L, idx, acc, st))
+    empty_idx = np.flatnonzero(slens == 0)
+    return sids, sbuf, groups, empty_idx
+
+
 def make_short_probe_fn(short_ref, id_col: str = "image_id",
                         text_col: str = "caption"):
     """map_batches fn over the full unique-caption table: for each
     broadcast short caption (below the winnowing guarantee threshold),
     emit (short_id, 1) if it occurs inside any OTHER caption in this
-    block. One vectorized match_substring pass per short caption."""
+    block.
+
+    One rolling-hash pass over the block text per DISTINCT short length
+    (< 39 of them), candidates via a sorted-query-hash binary search,
+    then byte-verify — O(block_bytes * n_lengths + candidates), never
+    O(n_short * block_bytes). A verified full-row match needs an id
+    check (it is the short's own row unless captions repeat); anything
+    else is a proper containment in a different caption."""
     from .sketch_aggs import _plain_fetch
 
     def fn(batch: pa.Table) -> pa.Table:
-        sids, scaps = _plain_fetch(short_ref)
+        sids, sbuf, groups, empty_idx = _plain_fetch(short_ref)
         ids = _combine(batch[id_col])
-        caps = _combine(batch[text_col])
-        out = []
-        for sid, sc in zip(sids, scaps):
-            m = pc.match_substring(caps, pattern=str(sc))
-            hit = pc.and_kleene(m, pc.not_equal(ids, str(sid)))
-            if pc.any(hit).as_py():
-                out.append(str(sid))
+        n = len(ids)
+        hit = np.zeros(len(sids), dtype=bool)
+        if n:
+            caps = _combine(batch[text_col])
+            buf, offs = _string_bytes(caps)
+            base = int(offs[0])
+            rel = offs - base
+            total = int(rel[-1])
+            text = buf[base : base + total]
+            # empty shorts occur in every caption: hit iff any OTHER id
+            if len(empty_idx):
+                if n >= 2:
+                    hit[empty_idx] = True
+                else:
+                    one = ids[0].as_py()
+                    hit[empty_idx] = np.array(
+                        [sids[int(j)] != one for j in empty_idx])
+            if groups and total > 0:
+                C = np.zeros(total + 1, dtype=np.uint64)
+                np.cumsum(text.astype(np.uint64) * np.concatenate(
+                    ([np.uint64(1)],
+                     np.cumprod(np.full(total - 1, _BINV,
+                                        dtype=np.uint64)))), out=C[1:])
+                powB = np.concatenate(
+                    ([np.uint64(1)],
+                     np.cumprod(np.full(total - 1, _B, dtype=np.uint64))))
+                starts_r, ends_r = rel[:-1], rel[1:]
+                for L, idx, qh, qst in groups:
+                    if total < L:
+                        continue
+                    nw = total - L + 1
+                    ww = (C[L : L + nw] - C[:nw]) * powB[:nw]
+                    posr, qsel = _hash_match_candidates(ww, qh)
+                    if not len(posr):
+                        continue
+                    rr = np.searchsorted(ends_r, posr, side="right")
+                    ok = (posr >= starts_r[rr]) & (posr + L <= ends_r[rr])
+                    posr, qsel, rr = posr[ok], qsel[ok], rr[ok]
+                    okb = np.ones(len(posr), dtype=bool)
+                    st = qst[qsel]
+                    for u in range(L):
+                        okb &= text[posr + u] == sbuf[st + u]
+                    posr, qsel, rr = posr[okb], qsel[okb], rr[okb]
+                    if not len(posr):
+                        continue
+                    gidx = idx[qsel]
+                    full = (ends_r[rr] - starts_r[rr] == L) \
+                        & (posr == starts_r[rr])
+                    hit[gidx[~full]] = True
+                    for t_ in np.flatnonzero(full):  # rare: exact-equal rows
+                        if ids[int(rr[t_])].as_py() != sids[int(gidx[t_])]:
+                            hit[gidx[t_]] = True
+        out = [sids[int(j)] for j in np.flatnonzero(hit)]
         return pa.Table.from_arrays(
             [pa.array(out, type=pa.string()),
              pa.array(np.ones(len(out), dtype=np.int8))],
@@ -512,7 +617,7 @@ def substring_flags_sharded(uniq_ds, id_col: str = "image_id",
                             text_col: str = "caption",
                             num_partitions: int = 16, k: int = 8,
                             window: int = 32, seed: int = DEFAULT_SEED,
-                            short_limit: int = 1_000_000,
+                            short_limit: int = 100_000,
                             target_partition_bytes: int = 32 << 20):
     """Distributed exact substring-containment flags over a UNIQUE
     caption Dataset → Dataset (id, contained), bit-equal to the
@@ -552,7 +657,11 @@ def substring_flags_sharded(uniq_ds, id_col: str = "image_id",
         return one.map_batches(
             make_substring_flag_fn(id_col, text_col),
             batch_format="pyarrow", batch_size=None)
-    num_partitions = p_eff
+    # size-adaptive growth is UNCAPPED above num_partitions: partitions
+    # are sized so no partition's concatenated text approaches the
+    # kernel's 2^32-byte position-packing limit even after fingerprint
+    # replication (the kernel raises loudly as the skew backstop)
+    num_partitions = max(p_eff, int(-(-size // (256 << 20))))
 
     # short side set: captions below the guarantee threshold
     def keep_short(batch: pa.Table) -> pa.Table:
@@ -583,8 +692,7 @@ def substring_flags_sharded(uniq_ds, id_col: str = "image_id",
 
     streams = [bucket_pos]
     if len(shorts):
-        ref = ray.put((shorts[id_col].to_pylist(),
-                       np.asarray(shorts[text_col].to_pylist())))
+        ref = ray.put(_short_side(shorts, id_col, text_col))
         short_pos = uniq.map_batches(
             make_short_probe_fn(ref, id_col, text_col),
             batch_format="pyarrow").materialize()

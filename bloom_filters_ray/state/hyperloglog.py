@@ -162,6 +162,12 @@ class HyperLogLog:
 
     @staticmethod
     def from_json(data: dict) -> "HyperLogLog":
+        """Restore from JSON. A missing ``_hashFamily`` means the
+        reference family (xxh3) — reference exports never carry the
+        field. COMPAT NOTE: engine JSON written before the xxh3 switch
+        (round-1 exports, which were XXH64-built and predate the field)
+        is therefore invalidated — reloading one would silently mix
+        hash families in a register set; re-export from source data."""
         f = HyperLogLog(data["_m"], import_bigint(data["_seed"]),
                         data.get("_mode", "reference"),
                         data.get("_hashFamily", "xxh3"))

@@ -81,6 +81,28 @@ class TestSubstring:
         naive = [any(c != d and c in d for d in caps) for c in caps]
         assert list(flags) == naive
 
+    def test_containment_random_mixed_lengths(self):
+        """Randomized kernel-vs-naive including many below-anchor-length
+        (short-path) captions and planted containments."""
+        rng = np.random.default_rng(11)
+        caps: set[bytes] = set()
+        while len(caps) < 150:
+            L = int(rng.integers(1, 70))
+            caps.add(bytes(rng.integers(97, 103, size=L, dtype=np.uint8)))
+        caps = sorted(caps)
+        # plant substrings of existing captions (mix of lengths)
+        extra: set[bytes] = set()
+        for c in caps[:40]:
+            if len(c) >= 3:
+                a = int(rng.integers(0, len(c) - 1))
+                b = int(rng.integers(a + 1, len(c) + 1))
+                extra.add(c[a:b])
+        caps = sorted(set(caps) | extra)
+        flags = substring_contained_flags(caps)
+        naive = [any(c != d and c in d for d in caps) for c in caps]
+        assert list(flags) == naive
+
+
 
 class TestMultimodal:
     def _payload(self, w=8, h=6, seed=0):
@@ -217,6 +239,42 @@ class TestShardedSubstring:
         assert want.equals(got)
         m = dict(zip(got.image_id, got.contained))
         assert m["i00"] and m["i04"] and m["i01"] and not m["i05"]
+
+    def test_many_shorts_adversarial(self, ray_session):
+        """A tweet-like corpus where MOST captions are below the
+        winnowing guarantee threshold: the broadcast probe must stay
+        vectorized (no O(n_short * corpus) blowup) and exact."""
+        import ray.data
+
+        from bloom_filters_ray.stages.substring import (
+            make_substring_flag_fn, substring_flags_sharded)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        rng = np.random.default_rng(3)
+        caps: set[str] = set()
+        while len(caps) < 400:  # shorts: 3..30 bytes
+            L = int(rng.integers(3, 31))
+            caps.add("".join(chr(c) for c in
+                             rng.integers(97, 105, size=L)))
+        longs: set[str] = set()
+        while len(longs) < 40:  # containers >= threshold
+            L = int(rng.integers(60, 120))
+            longs.add("".join(chr(c) for c in
+                              rng.integers(97, 105, size=L)))
+        allc = sorted(caps | longs)
+        rows = pa.table({"image_id": [f"i{k:04d}" for k in range(len(allc))],
+                         "caption": allc})
+        ds = ray.data.from_arrow(rows)
+        want = ds.repartition(1).map_batches(
+            make_substring_flag_fn(), batch_format="pyarrow",
+            batch_size=None).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        got = substring_flags_sharded(ds, num_partitions=4,
+                              target_partition_bytes=1).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert want.equals(got)
+        assert got.contained.sum() > 0  # 8-letter alphabet: hits exist
 
 
 class TestCorpusIO:
