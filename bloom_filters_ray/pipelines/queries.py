@@ -19,8 +19,9 @@ import pyarrow as pa
 from ..hashing import DEFAULT_SEED
 from ..sources.synthetic import CORPUS_SQL, corpus_dataset
 from ..stages.sketch_aggs import build_bloom, build_cms, build_hll, make_bloom_probe_fn
-from ..stages.textstats import (make_fingerprint_fn, make_langid_fn,
-                                make_quality_fn, make_token_stats_fn)
+from ..stages.textstats import (LANG_PROFILES, make_fingerprint_fn,
+                                make_langid_fn, make_quality_fn,
+                                make_token_stats_fn)
 from ..util import ensure_hash_shuffle
 from .dedup import DedupConfig, dedup_pipeline
 
@@ -111,6 +112,13 @@ def q_bloom_members(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _stop_in(lang: str) -> str:
+    """SQL IN-list literal of a LANG_PROFILES stopword profile — the
+    oracle lists are generated from the same table the engine uses, so
+    they cannot drift."""
+    return ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+
+
 ORACLES: dict[str, str] = {
     "corpus": f"WITH {CORPUS_SQL} SELECT * FROM corpus",
     "exact_dedup": f"""
@@ -178,6 +186,99 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(sh.n, 0) AS BIGINT) AS stop_hits
         FROM corpus c
         LEFT JOIN nt USING (image_id) LEFT JOIN sh USING (image_id)
+    """,
+    # doc_quality extends quality_components★ with the derived float
+    # columns; every division/multiply is parenthesized exactly as the
+    # numpy in make_quality_fn evaluates it (IEEE-754 ops are
+    # deterministic given order, so the value-hash matches bit-for-bit)
+    "doc_quality": f"""
+        WITH {CORPUS_SQL},
+        tok AS (
+            SELECT image_id,
+                   unnest(regexp_split_to_array(lower(trim(caption)), ' +')) AS t
+            FROM corpus WHERE trim(caption) <> ''
+        ),
+        sh AS (
+            SELECT image_id, count(*) AS n
+            FROM tok WHERE t IN ({_stop_in('en')})
+            GROUP BY image_id
+        ),
+        nt AS (SELECT image_id, count(*) AS n,
+                      sum(length(t)) AS sum_len
+               FROM tok GROUP BY image_id),
+        base AS (
+            SELECT c.image_id,
+                   CAST(coalesce(nt.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(length(c.caption) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(c.caption, '[^A-Za-z]', '', 'g'))
+                        AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(c.caption, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit,
+                   CAST(length(c.caption)
+                        - length(regexp_replace(c.caption,
+                                                '[!-/:-@[-`{{-~]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(coalesce(sh.n, 0) AS BIGINT) AS stop_hits,
+                   CAST(coalesce(nt.sum_len, 0) AS BIGINT) AS sum_tok_len
+            FROM corpus c
+            LEFT JOIN nt USING (image_id) LEFT JOIN sh USING (image_id)
+        ),
+        derived AS (
+            SELECT *,
+                   CAST(sum_tok_len AS DOUBLE) / greatest(n_tokens, 1)
+                       AS mean_token_len,
+                   CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1)
+                       AS stop_ratio,
+                   CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1)
+                       AS alpha_ratio
+            FROM base
+        )
+        SELECT image_id, n_tokens, n_chars, n_alpha, n_digit, n_punct,
+               stop_hits, mean_token_len, stop_ratio, alpha_ratio,
+               ((least(greatest(alpha_ratio / 0.6, 0), 1)
+                 * least(greatest(mean_token_len / 3.0, 0), 1))
+                * least(greatest((15 - mean_token_len) / 5.0, 0), 1))
+               * (least(greatest(n_tokens / 5.0, 0), 1)
+                  * least(greatest((512 - n_tokens) / 256.0, 0), 1))
+                   AS quality
+        FROM derived
+    """,
+    # langid: per-profile stopword hit counts, argmax with ties broken
+    # by profile order (en, de, fr, es) exactly as np.argmax picks the
+    # first maximum; 'und' when the best profile has < 1 hit
+    "langid": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        nt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        hits AS (
+            SELECT doc_id,
+                   count(*) FILTER (WHERE t IN ({_stop_in('en')})) AS r_en,
+                   count(*) FILTER (WHERE t IN ({_stop_in('de')})) AS r_de,
+                   count(*) FILTER (WHERE t IN ({_stop_in('fr')})) AS r_fr,
+                   count(*) FILTER (WHERE t IN ({_stop_in('es')})) AS r_es
+            FROM tok GROUP BY doc_id
+        ),
+        h AS (
+            SELECT d.doc_id,
+                   coalesce(r_en, 0) AS h_en, coalesce(r_de, 0) AS h_de,
+                   coalesce(r_fr, 0) AS h_fr, coalesce(r_es, 0) AS h_es,
+                   greatest(coalesce(nt.n, 0), 1) AS n_tok
+            FROM documents d
+            LEFT JOIN hits USING (doc_id) LEFT JOIN nt USING (doc_id)
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(h_en, h_de, h_fr, h_es) < 1 THEN 'und'
+                    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es
+                        THEN 'en'
+                    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                    WHEN h_fr >= h_es THEN 'fr'
+                    ELSE 'es' END AS lang,
+               CAST(greatest(h_en, h_de, h_fr, h_es) AS DOUBLE) / n_tok
+                   AS lang_score
+        FROM h
     """,
     "events_window": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -289,13 +390,18 @@ def q_cms_caption_counts(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    """Per-image quality-score components (C4/Gopher-style heuristics)."""
+    """Per-image quality-score components (C4/Gopher-style heuristics).
+    Hard-oracled: the SQL twin reproduces the float columns bit-exactly
+    by mirroring the numpy evaluation order (IEEE ops are deterministic
+    given operand order)."""
     ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"])
     return ds.map_batches(make_quality_fn(), batch_format="pyarrow")
 
 
 def q_langid(sf_dir: str):
-    """Stopword-profile language ID over document text."""
+    """Stopword-profile language ID over document text. Hard-oracled:
+    argmax tie-break (profile order) and the score division are both
+    SQL-reproducible."""
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         make_langid_fn(), batch_format="pyarrow")
 
