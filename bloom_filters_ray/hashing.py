@@ -232,10 +232,17 @@ def arrow_string_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     else:
         off_dtype = np.int32
     buffers = arr.buffers()
-    # buffers: [validity, offsets, data]
+    # buffers: [validity, offsets, data] — empty/all-empty arrays may
+    # carry a missing or None buffer where no bytes ever existed
+    if len(buffers) < 2 or buffers[1] is None:
+        n = len(arr)
+        return (np.empty(0, dtype=np.uint8),
+                np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.int64))
     raw_off = np.frombuffer(buffers[1], dtype=off_dtype)
     offs = raw_off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if len(buffers) > 2 and buffers[2] is not None
+            else np.empty(0, dtype=np.uint8))
     return data, offs[:-1], np.diff(offs)
 
 

@@ -171,12 +171,12 @@ def _rename(ds, old: str, new: str):
 
 
 def connected_components(edges_iter) -> dict:
-    """Stream verified (a, b) edge batches into a driver union-find;
-    returns {id: cluster_id} for every id touched by an edge."""
+    """Stream verified (a, b) edge batches into a driver union-find
+    (batch-contracted ingestion); returns {id: cluster_id} for every id
+    in a non-trivial component."""
     uf = UnionFind()
     for batch in edges_iter:
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            uf.union(x, y)
+        uf.union_many(batch["a"], batch["b"])
     return uf.components()
 
 
@@ -367,8 +367,7 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
     for batch in edges.select_columns(["a", "b"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         n_edges += len(batch)
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            comp_uf.union(x, y)
+        comp_uf.union_many(batch["a"], batch["b"])
     comp = comp_uf.components()
 
     # execution 4 (no shuffle): final assignment

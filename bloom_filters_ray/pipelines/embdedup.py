@@ -48,6 +48,7 @@ class EmbDedupConfig:
     # normalized-matrix fast path to a two-sided hash join against the
     # (id, normalized-vec binary) table — no driver collect
     broadcast_limit: int = 2_000_000
+    cc: str = "driver"  # "driver" union-find | "distributed" star contraction
 
     def partitions(self) -> int:
         if self.num_partitions is not None:
@@ -108,14 +109,42 @@ def embedding_dedup_pipeline(ds, cfg: EmbDedupConfig | None = None):
             lambda t: verify_cosine_block(t, cfg.threshold),
             batch_format="pyarrow")
 
+    if cfg.cc == "distributed":
+        # scale path: star-contraction labels + join assignment —
+        # nothing driver-side. The embedding tier has no exact tier, so
+        # every id is its own representative in the join shape
+        # assign_clusters_distributed expects.
+        from .dedup import DedupConfig, assign_clusters_distributed
+
+        def as_exact(batch: pa.Table) -> pa.Table:
+            ids = batch[cfg.id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.Table.from_arrays(
+                [ids, ids, pa.array(np.ones(len(ids), dtype=bool))],
+                names=[cfg.id_col, "rep_id", "is_rep"])
+
+        pseudo_exact = ds.select_columns([cfg.id_col]).map_batches(
+            as_exact, batch_format="pyarrow")
+        acfg = DedupConfig(id_col=cfg.id_col,
+                           num_partitions=cfg.num_partitions)
+        labelled, cc_stats = assign_clusters_distributed(
+            pseudo_exact, edges.select_columns(["a", "b"]), acfg)
+        assignments = labelled.select_columns([cfg.id_col, "cluster_id"])
+        stats = {
+            "n_input": n_input,
+            "n_edges": -1,  # not counted on this path
+            **cc_stats,
+        }
+        return assignments, stats
+
     # union-find state is bounded by the verified-duplicate set
     uf = UnionFind()
     n_edges = 0
     for batch in edges.select_columns(["a", "b"]).iter_batches(
             batch_size=1 << 16, batch_format="pyarrow"):
         n_edges += len(batch)
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            uf.union(x, y)
+        uf.union_many(batch["a"], batch["b"])
     comp = uf.components()
 
     # distributed assignment: broadcast the (small) component map and

@@ -127,8 +127,7 @@ def image_dedup_pipeline(ds, cfg: ImageDedupConfig | None = None):
     for batch in edges.select_columns(["a", "b"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         n_edges += len(batch)
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            uf.union(x, y)
+        uf.union_many(batch["a"], batch["b"])
     comp = uf.components()
 
     from .dedup import DedupConfig, assign_clusters

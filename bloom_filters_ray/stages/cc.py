@@ -39,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import xxh64_arrow
+from ..hashing import xxh64_arrow, xxh64_u64
 
 try:  # Ray is optional at import time (pure-library use)
     from ray.data.aggregate import AggregateFnV2
@@ -51,11 +51,21 @@ def _combine(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _id_hash(col: pa.Array, seed: int) -> np.ndarray:
+    """Per-element hash of an id column — string/binary via the Arrow
+    buffer path, integer ids (e.g. emb_id) via the word kernel."""
+    if pa.types.is_integer(col.type):
+        w = col.to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        return xxh64_u64(w, seed)
+    return xxh64_arrow(col, seed)
+
+
 def _pair_fingerprint(batch: pa.Table) -> tuple[int, int]:
     a = _combine(batch["a"])
     b = _combine(batch["b"])
-    ha = xxh64_arrow(a, 11)
-    hb = xxh64_arrow(b, 23)
+    ha = _id_hash(a, 11)
+    hb = _id_hash(b, 23)
     mixed = ha * np.uint64(0x9E3779B185EBCA87) ^ hb
     x = np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
     return len(batch), int(x)

@@ -466,6 +466,48 @@ class UnionFind:
             rx, ry = ry, rx
         self.parent[ry] = rx
 
+    def union_many(self, a, b) -> None:
+        """Batched edge ingestion: contract the batch's edges to
+        batch-local components first (vectorized min-label propagation
+        with pointer jumping over integer codes — no per-edge Python),
+        then apply only the <= n_nodes (node → batch root) forest edges
+        to the global dict state. LSH emits the same pair from several
+        bands, so a batch typically has far fewer nodes than edges.
+
+        Component sets are preserved exactly (each node unions with its
+        batch-local root), and the global min-id-root invariant of
+        ``union`` makes the final labels independent of which
+        representative the batch contraction picked.
+        """
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        n = len(a)
+        if n == 0:
+            return
+        enc = pa.concat_arrays([a, b]).dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        ca, cb = codes[:n], codes[n:]
+        n_nodes = len(enc.dictionary)
+        label = np.arange(n_nodes, dtype=np.int64)
+        while True:
+            before = label.copy()
+            m = np.minimum(label[ca], label[cb])
+            np.minimum.at(label, ca, m)
+            np.minimum.at(label, cb, m)
+            np.minimum(label, label[label], out=label)  # pointer jump
+            if np.array_equal(label, before):
+                break
+        while True:  # flatten to fixpoint
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        ids = enc.dictionary.to_pylist()
+        for i in np.flatnonzero(label != np.arange(n_nodes)):
+            self.union(ids[int(i)], ids[int(label[i])])
+
     def components(self) -> dict:
         """id → min-id-of-component for every seen id."""
         return {x: self.find(x) for x in list(self.parent)}

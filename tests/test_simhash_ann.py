@@ -197,6 +197,57 @@ class TestEmbJoinPath:
         assert s1["n_components"] == s2["n_components"]
 
 
+class TestUnionFindBatched:
+    def test_union_many_matches_per_pair(self):
+        """Batch-contracted ingestion yields identical components to
+        per-pair unions, for any edge order/duplication."""
+        from bloom_filters_ray.stages.neardup import UnionFind
+
+        rng = np.random.default_rng(11)
+        ids = [f"id{i:04d}" for i in range(200)]
+        a = rng.integers(0, 200, size=500)
+        b = rng.integers(0, 200, size=500)
+        u1, u2 = UnionFind(), UnionFind()
+        for x, y in zip(a, b):
+            u1.union(ids[x], ids[y])
+        # feed the same edges in two batches through union_many
+        for lo, hi in ((0, 250), (250, 500)):
+            u2.union_many(pa.array([ids[i] for i in a[lo:hi]]),
+                          pa.array([ids[i] for i in b[lo:hi]]))
+        c1 = {k: v for k, v in u1.components().items() if k != v}
+        c2 = {k: v for k, v in u2.components().items() if k != v}
+        assert c1 == c2
+
+    def test_union_many_empty_and_chained(self):
+        from bloom_filters_ray.stages.neardup import UnionFind
+
+        uf = UnionFind()
+        uf.union_many(pa.array([], type=pa.string()),
+                      pa.array([], type=pa.string()))
+        assert uf.components() == {}
+        # chain split across calls must still merge into one component
+        uf.union_many(pa.array(["b"]), pa.array(["c"]))
+        uf.union_many(pa.array(["a"]), pa.array(["b"]))
+        comp = uf.components()
+        assert comp["b"] == "a" and comp["c"] == "a"
+
+
+class TestEmbDedupDistributedCC:
+    def test_distributed_cc_matches_driver(self, ray_session):
+        from bloom_filters_ray.pipelines.embdedup import (
+            EmbDedupConfig, embedding_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import embedding_corpus
+
+        a1, s1 = embedding_dedup_pipeline(embedding_corpus(SF),
+                                          EmbDedupConfig())
+        a2, s2 = embedding_dedup_pipeline(embedding_corpus(SF),
+                                          EmbDedupConfig(cc="distributed"))
+        d1 = a1.to_pandas().sort_values("emb_id").reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values("emb_id").reset_index(drop=True)
+        assert d1.equals(d2)
+        assert s1["n_components"] == s2["n_components"]
+
+
 class TestImageDedupDistributedCC:
     def test_distributed_cc_matches_driver(self, ray_session):
         from bloom_filters_ray.pipelines.imagededup import (
