@@ -58,8 +58,7 @@ class IBLTAgg(AggregateFnV2):
         from ..stages.sketch_aggs import _column
 
         f = self._new()
-        for v in _column(block, self._on).to_pylist():
-            f.add(v)
+        f.add_many(_column(block, self._on))  # vectorized digest path
         return f
 
     def combine(self, cur, new):

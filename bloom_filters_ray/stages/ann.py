@@ -209,30 +209,67 @@ def make_ivf_probe_fn(centroid_ref, query_ref, k: int, nprobe: int,
         lists = batch["list_id"].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         E = normalize_rows(embedding_matrix(batch[emb_col], dim))
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(q_id_arr)):
-            mask = np.isin(lists, probe[qi])
-            if not mask.any():
-                continue
-            sims = E[mask] @ Q[qi]
-            cand_ids = ids[mask]
-            if exclude_self:
-                sims = np.where(cand_ids == q_id_arr[qi], -np.inf, sims)
-            kk = min(k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            keep = np.isfinite(sims[top])
-            out_q.append(np.full(int(keep.sum()), q_id_arr[qi]))
-            out_n.append(cand_ids[top][keep])
-            out_s.append(sims[top][keep])
-        if not out_q:
+
+        def empty() -> pa.Table:
             e = pa.array([], type=pa.int64())
             return pa.Table.from_arrays(
                 [e, e, pa.array([], type=pa.float64())],
                 names=["query_id", "neighbor_id", "sim"])
+
+        if len(ids) == 0 or len(q_id_arr) == 0:
+            return empty()
+        # group block rows by list once; then one searchsorted of the
+        # whole (q, nprobe) probe matrix against the present lists —
+        # ALL queries resolved at once, no per-query block scan. The
+        # work loop below is over DISTINCT lists in this block (bounded
+        # by lists/partition, a structural constant), one BLAS matmul
+        # (segment x probing-queries) each.
+        order = np.argsort(lists, kind="stable")
+        ls, ids_s, E_s = lists[order], ids[order], E[order]
+        ulists, ustarts = np.unique(ls, return_index=True)
+        bounds = np.append(ustarts, len(ls))
+        pos = np.searchsorted(ulists, probe)
+        pos_c = np.minimum(pos, len(ulists) - 1)
+        hit = ulists[pos_c] == probe           # (q, nprobe) membership
+        pq, _ = np.nonzero(hit)
+        pl = pos_c[hit]
+        if not len(pq):
+            return empty()
+        g = np.argsort(pl, kind="stable")
+        pl_s, pq_s = pl[g], pq[g]
+        gb = np.append(
+            np.searchsorted(pl_s, np.arange(len(ulists)), side="left"),
+            len(pl_s))
+        out_q, out_n, out_s = [], [], []
+        for li in range(len(ulists)):
+            qs = pq_s[gb[li] : gb[li + 1]]
+            if not len(qs):
+                continue
+            seg = slice(int(bounds[li]), int(bounds[li + 1]))
+            S = E_s[seg] @ Q[qs].T             # (m, q_hit)
+            m, qh = S.shape
+            out_q.append(np.tile(q_id_arr[qs], m))
+            out_n.append(np.repeat(ids_s[seg], qh))
+            out_s.append(S.ravel())
+        qf = np.concatenate(out_q)
+        nf = np.concatenate(out_n)
+        sf = np.concatenate(out_s)
+        if exclude_self:
+            keep = nf != qf
+            qf, nf, sf = qf[keep], nf[keep], sf[keep]
+        if not len(qf):
+            return empty()
+        # block-local top-k per query, vectorized (sort + rank<=k with
+        # the same (q, -sim, neighbor) tie-break as the driver merge)
+        o2 = np.lexsort((nf, -sf, qf))
+        qf, nf, sf = qf[o2], nf[o2], sf[o2]
+        first = np.ones(len(qf), dtype=bool)
+        first[1:] = qf[1:] != qf[:-1]
+        gstart = np.maximum.accumulate(np.where(first, np.arange(len(qf)), 0))
+        rank = np.arange(len(qf)) - gstart
+        keep = rank < k
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate(out_q)),
-             pa.array(np.concatenate(out_n)),
-             pa.array(np.concatenate(out_s))],
+            [pa.array(qf[keep]), pa.array(nf[keep]), pa.array(sf[keep])],
             names=["query_id", "neighbor_id", "sim"])
 
     return fn

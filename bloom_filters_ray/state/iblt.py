@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from ..hashing import DEFAULT_SEED
-from ..xxh3 import xxh3_128
+from ..xxh3 import xxh3_128, xxh3_128_arrow
 from .serde import export_bigint, import_bigint
 
 
@@ -34,6 +36,58 @@ def _digest128(value: bytes | str, seed: int) -> list[int]:
     ``xxh128(value, seed).toString(16).match(/../g)`` → int bytes."""
     hexs = format(xxh3_128(value, seed), "x")
     return [int(hexs[i : i + 2], 16) for i in range(0, len(hexs) - 1, 2)]
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Bit length of each uint64 (0 for 0), vectorized."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[x > 0] += 1
+    return bl
+
+
+def _digest_bytes_many(lo: np.ndarray, hi: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's unpadded-hex digest, vectorized: for each 128-bit
+    value v = (hi<<64)|lo, the bytes of ``format(v, 'x')`` cut into hex
+    pairs (leading zero nibbles shorten the digest; a trailing odd hex
+    char is dropped). Returns (byte matrix (n, 16) with zeros past each
+    row's digest, digest lengths nd (n,))."""
+    n = len(lo)
+    sig_lo = np.maximum(1, -(-_bitlen_u64(lo) // 4))  # hex('0') == '0'
+    sig_hi = -(-_bitlen_u64(hi) // 4)
+    nn = np.where(hi > 0, 16 + sig_hi, sig_lo).astype(np.int64)
+    nd = nn // 2
+    B = np.zeros((n, 16), dtype=np.uint8)
+    for j in range(16):
+        m = j < nd
+        if not m.any():
+            break
+        k = (4 * nn[m] - 8 * (j + 1)).astype(np.uint64)
+        small = k < 64
+        byte = np.empty(int(m.sum()), dtype=np.uint64)
+        ks = k[small]
+        lopart = lo[m][small] >> ks
+        # hi << 64 is undefined: cap the shift and mask the k == 0 case
+        hipart = np.where(
+            ks > 0,
+            hi[m][small] << (np.uint64(64) - np.maximum(ks, np.uint64(1))),
+            np.uint64(0))
+        byte[small] = lopart | hipart
+        byte[~small] = hi[m][~small] >> (k[~small] - np.uint64(64))
+        B[m, j] = (byte & np.uint64(0xFF)).astype(np.uint8)
+    return B, nd
+
+
+def _window_hashes(B: np.ndarray, w: int) -> np.ndarray:
+    """Signed-int32 value of digest bytes [4w, 4w+4) (missing → 0)."""
+    b = B[:, 4 * w : 4 * w + 4].astype(np.int64)
+    h = (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+    return np.where(h >= (1 << 31), h - (1 << 32), h)
 
 
 def xor_bytes(a: bytes, b: bytes) -> bytes:
@@ -129,6 +183,63 @@ class InvertibleBloomFilter:
         h = self.gen_hash(element)
         for index in self.gen_indexes(element):
             self._elements[index].add(value, h)
+
+    def gen_hashes_many(self, arr) -> np.ndarray:
+        """Vectorized ``gen_hash`` over an Arrow string/binary array
+        (first 4 digest bytes of xxh128(value, 125), signed int32)."""
+        lo, hi = xxh3_128_arrow(arr, 125)
+        B, _ = _digest_bytes_many(lo, hi)
+        return _window_hashes(B, 0)
+
+    def gen_indexes_many(self, arr) -> np.ndarray:
+        """Vectorized ``gen_indexes``: (n, hash_count) cell indexes via
+        batched xxh128 digests per salt — no per-row Python hashing.
+        Bit-identical to the scalar path (conformance-tested)."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        hc = self._hash_count
+        out = np.zeros((n, hc), dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        remaining = np.arange(n, dtype=np.int64)
+        salt = 0
+        while len(remaining):
+            sub = arr.take(pa.array(remaining))
+            lo, hi = xxh3_128_arrow(sub, salt)
+            B, nd = _digest_bytes_many(lo, hi)
+            for w in range(4):  # a 16-byte digest has at most 4 windows
+                act = (4 * w < nd) & (counts[remaining] < hc)
+                if not act.any():
+                    continue
+                hv = _window_hashes(B[act], w)
+                ra = remaining[act]
+                out[ra, counts[ra]] = np.abs(hv) % self._size
+                counts[ra] += 1
+            remaining = remaining[counts[remaining] < hc]
+            salt += 1
+        return out
+
+    def add_many(self, arr) -> None:
+        """Batched ``add`` of every element of an Arrow string array:
+        digests are computed vectorized; only the per-cell byte-XOR
+        updates remain per element."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return
+        hs = self.gen_hashes_many(arr)
+        idxs = self.gen_indexes_many(arr)
+        cells = self._elements
+        for r, v in enumerate(arr.to_pylist()):
+            value = v.encode("utf-8")
+            h = int(hs[r])
+            for c in idxs[r]:
+                cells[c].add(value, h)
 
     def remove(self, element: str) -> bool:
         value = element.encode("utf-8")

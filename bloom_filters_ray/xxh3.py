@@ -555,3 +555,160 @@ def xxh3_64_arrow(arr, seed: int = 0) -> np.ndarray:
         for i in np.flatnonzero(m):
             out[i] = _U(xxh3_64(raw[starts[i] : starts[i] + lens[i]], seed))
     return out
+
+
+# ---------------------------------------------------------------------------
+# XXH3-128 vectorized over Arrow string/binary columns
+# ---------------------------------------------------------------------------
+
+def _rotl32_v(x: np.ndarray, r: int) -> np.ndarray:
+    x = x & _U(_M32)
+    return (((x << _U(r)) | (x >> _U(32 - r)))) & _U(_M32)
+
+
+def _mix32_v(accl: np.ndarray, acch: np.ndarray, data, a_pos: np.ndarray,
+             b_pos: np.ndarray, sec, soff: int, seed: int
+             ) -> tuple[np.ndarray, np.ndarray]:
+    accl = accl + _mix16_v(data, a_pos, sec, soff, seed)
+    accl = accl ^ (_g64(data, b_pos) + _g64(data, b_pos + 8))
+    acch = acch + _mix16_v(data, b_pos, sec, soff + 16, seed)
+    acch = acch ^ (_g64(data, a_pos) + _g64(data, a_pos + 8))
+    return accl, acch
+
+
+def _finalize_mid_128_v(accl: np.ndarray, acch: np.ndarray, ln: np.ndarray,
+                        seed: int) -> tuple[np.ndarray, np.ndarray]:
+    lo = accl + acch
+    hi = (accl * _U(_P64_1) + acch * _U(_P64_4)
+          + (ln.astype(np.uint64) - _U(seed)) * _U(_P64_2))
+    return _xxh3_avalanche_v(lo), -_xxh3_avalanche_v(hi)
+
+
+def xxh3_128_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized XXH3-128 of every element of an Arrow string/binary
+    array (or ChunkedArray) → (low64, high64) uint64 numpy arrays.
+    Bit-identical to the scalar ``xxh3_128`` (conformance-tested);
+    rows over 240 bytes fall back to the scalar reference."""
+    from .hashing import arrow_string_buffers
+
+    data, starts, lens = arrow_string_buffers(arr)
+    n_rows = len(lens)
+    out_lo = np.zeros(n_rows, dtype=np.uint64)
+    out_hi = np.zeros(n_rows, dtype=np.uint64)
+    if n_rows == 0:
+        return out_lo, out_hi
+    seed &= _M64
+    sec = _KSECRET
+    data = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+
+    # --- n == 0
+    m = lens == 0
+    if m.any():
+        out_lo[m] = _U(_xxh64_avalanche(seed ^ _r64(sec, 64) ^ _r64(sec, 72)))
+        out_hi[m] = _U(_xxh64_avalanche(seed ^ _r64(sec, 80) ^ _r64(sec, 88)))
+
+    # --- 1..3
+    m = (lens >= 1) & (lens <= 3)
+    if m.any():
+        s, ln = starts[m], lens[m]
+        c1 = data[s].astype(np.uint64)
+        c2 = data[s + (ln >> 1)].astype(np.uint64)
+        c3 = data[s + ln - 1].astype(np.uint64)
+        combinedl = ((c1 << _U(16)) | (c2 << _U(24)) | c3
+                     | (ln.astype(np.uint64) << _U(8))) & _U(_M32)
+        combinedh = _rotl32_v(_swap32_v(combinedl), 13)
+        bitflipl = _U(((_r32(sec, 0) ^ _r32(sec, 4)) + seed) & _M64)
+        bitfliph = _U(((_r32(sec, 8) ^ _r32(sec, 12)) - seed) & _M64)
+        out_lo[m] = _xxh64_avalanche_v(combinedl ^ bitflipl)
+        out_hi[m] = _xxh64_avalanche_v(combinedh ^ bitfliph)
+
+    # --- 4..8
+    m = (lens >= 4) & (lens <= 8)
+    if m.any():
+        s, ln = starts[m], lens[m]
+        sseed = (seed ^ (_swap32(seed & _M32) << 32)) & _M64
+        i1 = _g32(data, s)
+        i2 = _g32(data, s + ln - 4)
+        input64 = i1 + (i2 << _U(32))
+        bitflip = _U(((_r64(sec, 16) ^ _r64(sec, 24)) + sseed) & _M64)
+        keyed = input64 ^ bitflip
+        pb = (_U(_P64_1) + (ln.astype(np.uint64) << _U(2)))
+        m_lo, m_hi = _mult64_hi_lo(keyed, pb)
+        m_hi = m_hi + (m_lo << _U(1))
+        m_lo = m_lo ^ (m_hi >> _U(3))
+        m_lo ^= m_lo >> _U(35)
+        m_lo = m_lo * _U(_MX2)
+        m_lo ^= m_lo >> _U(28)
+        out_lo[m] = m_lo
+        out_hi[m] = _xxh3_avalanche_v(m_hi)
+
+    # --- 9..16
+    m = (lens >= 9) & (lens <= 16)
+    if m.any():
+        s, ln = starts[m], lens[m]
+        bitflipl = _U(((_r64(sec, 32) ^ _r64(sec, 40)) - seed) & _M64)
+        bitfliph = _U(((_r64(sec, 48) ^ _r64(sec, 56)) + seed) & _M64)
+        input_lo = _g64(data, s)
+        input_hi = _g64(data, s + ln - 8)
+        m_lo, m_hi = _mult64_hi_lo(input_lo ^ input_hi ^ bitflipl,
+                                   np.full(len(s), _P64_1, dtype=np.uint64))
+        m_lo = m_lo + ((ln.astype(np.uint64) - _U(1)) << _U(54))
+        input_hi = input_hi ^ bitfliph
+        m_hi = m_hi + input_hi + (input_hi & _U(_M32)) * _U(_P32_2 - 1)
+        m_lo = m_lo ^ _swap64_v(m_hi)
+        h_lo, h_hi = _mult64_hi_lo(m_lo, np.full(len(s), _P64_2,
+                                                 dtype=np.uint64))
+        h_hi = h_hi + m_hi * _U(_P64_2)
+        out_lo[m] = _xxh3_avalanche_v(h_lo)
+        out_hi[m] = _xxh3_avalanche_v(h_hi)
+
+    # --- 17..128
+    m = (lens >= 17) & (lens <= 128)
+    if m.any():
+        s, ln = starts[m], lens[m]
+        accl = ln.astype(np.uint64) * _U(_P64_1)
+        acch = np.zeros(len(s), dtype=np.uint64)
+        for a_off, b_back, soff, cond in ((48, 64, 96, 96),
+                                          (32, 48, 64, 64),
+                                          (16, 32, 32, 32)):
+            mm = ln > cond
+            if mm.any():
+                al, ah = _mix32_v(accl[mm], acch[mm], data, s[mm] + a_off,
+                                  s[mm] + ln[mm] - b_back, sec, soff, seed)
+                accl[mm], acch[mm] = al, ah
+        accl, acch = _mix32_v(accl, acch, data, s, s + ln - 16, sec, 0, seed)
+        out_lo[m], out_hi[m] = _finalize_mid_128_v(accl, acch, ln, seed)
+
+    # --- 129..240
+    m = (lens >= 129) & (lens <= 240)
+    if m.any():
+        s, ln = starts[m], lens[m]
+        accl = ln.astype(np.uint64) * _U(_P64_1)
+        acch = np.zeros(len(s), dtype=np.uint64)
+        for i in range(4):
+            accl, acch = _mix32_v(accl, acch, data, s + 32 * i,
+                                  s + 32 * i + 16, sec, 32 * i, seed)
+        accl = _xxh3_avalanche_v(accl)
+        acch = _xxh3_avalanche_v(acch)
+        nb = ln // 32
+        for i in range(4, 8):
+            mm = nb > i
+            if mm.any():
+                al, ah = _mix32_v(accl[mm], acch[mm], data, s[mm] + 32 * i,
+                                  s[mm] + 32 * i + 16, sec,
+                                  _MIDSIZE_STARTOFFSET + 32 * (i - 4), seed)
+                accl[mm], acch[mm] = al, ah
+        accl, acch = _mix32_v(accl, acch, data, s + ln - 16, s + ln - 32,
+                              sec, 136 - _MIDSIZE_LASTOFFSET - 16,
+                              (-seed) & _M64)
+        out_lo[m], out_hi[m] = _finalize_mid_128_v(accl, acch, ln, seed)
+
+    # --- > 240: scalar fallback
+    m = lens > 240
+    if m.any():
+        raw = data.tobytes()
+        for i in np.flatnonzero(m):
+            v = xxh3_128(raw[starts[i] : starts[i] + lens[i]], seed)
+            out_lo[i] = _U(v & _M64)
+            out_hi[i] = _U(v >> 64)
+    return out_lo, out_hi

@@ -306,6 +306,32 @@ class TestIVF:
         f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert e.equals(f)
 
+    def test_ivf_large_query_batch(self, ray_session):
+        """Every corpus vector as a query (~1k) through the vectorized
+        probe: full probe must equal brute force at query-batch scale
+        (the probe is one searchsorted + one matmul per present list —
+        no per-query work)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (brute_force_topk,
+                                                  embedding_matrix, ivf_topk)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        qt = pq.read_table(f"{SF}/embeddings.parquet")
+        Q = embedding_matrix(qt["embedding"])
+        qids = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                   override_num_blocks=8).materialize()
+        exact = brute_force_topk(ds, qids, Q, k=5).to_pandas()
+        full = ivf_topk(ds, qids, Q, k=5, n_centroids=16,
+                        nprobe=16, num_partitions=4).to_pandas()
+        e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert len(e) == 5 * len(qids)
+        assert e.equals(f)
+
 
 class TestSimhashNeardup:
     def test_planted_near_dups_clustered(self, ray_session):

@@ -280,3 +280,27 @@ class TestIBLT:
         g = InvertibleBloomFilter.from_json(json.loads(json.dumps(iblt.save_as_json())))
         assert g.has("hello")
         assert g._elements[0].equals(iblt._elements[0])
+
+    def test_add_many_bit_equal_to_scalar(self):
+        """Vectorized digest path (gen_hashes_many / gen_indexes_many /
+        add_many) must be bit-identical to per-element add — including
+        the unpadded-hex digest quirks (short digests, odd nibbles)."""
+        import numpy as np
+        import pyarrow as pa
+
+        items = ([f"item-{i}" for i in range(200)]
+                 + ["", "a", "héllo wörld", "x" * 300, "éß世"]
+                 + [f"id{i:06d}" for i in range(50)])
+        a = InvertibleBloomFilter(40, alpha=2, hash_count=6, seed=9)
+        b = InvertibleBloomFilter(40, alpha=2, hash_count=6, seed=9)
+        for e in items:
+            a.add(e)
+        arr = pa.array(items, type=pa.string())
+        b.add_many(arr)
+        assert a.save_as_json() == b.save_as_json()
+        # per-element hash/index conformance
+        hs = b.gen_hashes_many(arr)
+        idxs = b.gen_indexes_many(arr)
+        for i, e in enumerate(items):
+            assert int(hs[i]) == a.gen_hash(e), e
+            assert list(idxs[i]) == a.gen_indexes(e), e
