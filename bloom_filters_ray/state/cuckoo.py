@@ -112,10 +112,14 @@ class Bucket:
 class CuckooFilter:
     def __init__(self, size: int, f_length: int, bucket_size: int,
                  max_kicks: int = 500, seed: int = DEFAULT_SEED,
-                 mode: str = "standard"):
+                 mode: str = "standard", hasher=None):
         if mode not in ("standard", "reference"):
             raise ValueError(mode)
         self._mode = mode
+        # custom Hashing (parity: cuckoo-filter.ts routes every hash
+        # through this._hashing.hashAsInt/hashIntAndString); None keeps
+        # the built-in XXH64
+        self._hasher = hasher
         if mode == "standard":  # power of two (see module note)
             size = 1 << max(1, (size - 1).bit_length())
         self._filter = [Bucket(bucket_size) for _ in range(size)]
@@ -125,23 +129,38 @@ class CuckooFilter:
         self._length = 0
         self._max_kicks = max_kicks
         self._seed = seed
-        self._rng = _random.Random(seed)
+        if mode == "reference":
+            # kick-for-kick parity: the reference draws all kick
+            # randomness from seedrandom(`${seed}`) (base-filter.ts)
+            from .arc4 import SeedRandom
+
+            self._rng = SeedRandom(str(seed))
+        else:
+            self._rng = _random.Random(seed)
 
     @classmethod
     def create(cls, size: int, error_rate: float, bucket_size: int = 4,
-               max_kicks: int = 500, seed: int = DEFAULT_SEED) -> "CuckooFilter":
+               max_kicks: int = 500, seed: int = DEFAULT_SEED,
+               hasher=None) -> "CuckooFilter":
         fl = compute_fingerprint_length(bucket_size, error_rate)
         capacity = math.ceil(size / bucket_size / 0.955)
-        return cls(capacity, fl, bucket_size, max_kicks, seed)
+        return cls(capacity, fl, bucket_size, max_kicks, seed, hasher=hasher)
 
     @classmethod
     def from_items(cls, items, error_rate: float, bucket_size: int = 4,
-                   max_kicks: int = 500, seed: int = DEFAULT_SEED) -> "CuckooFilter":
+                   max_kicks: int = 500, seed: int = DEFAULT_SEED,
+                   hasher=None) -> "CuckooFilter":
         items = list(items)
-        f = cls.create(len(items), error_rate, bucket_size, max_kicks, seed)
+        f = cls.create(len(items), error_rate, bucket_size, max_kicks, seed,
+                       hasher=hasher)
         for item in items:
             f.add(item)
         return f
+
+    def _h64(self, element) -> int:
+        if self._hasher is not None:
+            return self._hasher.serialize(element, self._seed)
+        return xxh64(element, self._seed)
 
     @property
     def size(self) -> int:
@@ -168,7 +187,7 @@ class CuckooFilter:
         return self._max_kicks
 
     def _locations(self, element) -> tuple[str, int, int]:
-        h = xxh64(element, self._seed)
+        h = self._h64(element)
         hex_str = format(h, "x")  # unpadded, like bigint.toString(16)
         if self._fingerprint_length > len(hex_str):
             raise ValueError(
@@ -177,11 +196,11 @@ class CuckooFilter:
         fingerprint = hex_str[: self._fingerprint_length]
         if self._mode == "reference":  # cuckoo-filter.ts:319-339 verbatim
             i1 = h % self._size
-            i2 = (h ^ xxh64(fingerprint, self._seed)) % self._size
+            i2 = (h ^ self._h64(fingerprint)) % self._size
         else:
             mask = self._size - 1
             i1 = h & mask
-            i2 = i1 ^ (xxh64(fingerprint, self._seed) & mask)
+            i2 = i1 ^ (self._h64(fingerprint) & mask)
         return fingerprint, i1, i2
 
     def add(self, element, throw_error: bool = False, destructive: bool = False) -> bool:
@@ -203,9 +222,9 @@ class CuckooFilter:
                 if self._mode == "reference":
                     # bug-compatible relocation (cuckoo-filter.ts:203-208):
                     # (index ^ hash) % size disagrees with the lookup index
-                    index = (index ^ xxh64(moved, self._seed)) % self._size
+                    index = (index ^ self._h64(moved)) % self._size
                 else:
-                    index = index ^ (xxh64(moved, self._seed)
+                    index = index ^ (self._h64(moved)
                                      & (self._size - 1))
                 if self._filter[index].is_free():
                     self._filter[index].add(moved)

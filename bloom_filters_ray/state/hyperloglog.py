@@ -56,7 +56,8 @@ class HyperLogLog:
     HASH_SIZE = 64
 
     def __init__(self, nb_registers: int, seed: int = DEFAULT_SEED,
-                 mode: str = "reference", hash_family: str = "xxh3"):
+                 mode: str = "reference", hash_family: str = "xxh3",
+                 hasher=None):
         """*mode*: "reference" replicates the reference estimator
         verbatim (0-based rank, ``alpha*m^2*2/Z``, ``V = #(reg==0)``) —
         accurate at reference load (n >> m) but biased in the sparse
@@ -72,6 +73,11 @@ class HyperLogLog:
         if hash_family not in ("xxh3", "xxh64"):
             raise ValueError(hash_family)
         self._hash_family = hash_family
+        # custom Hashing: serialize replaces the 64-bit element hash
+        # (the engine seam for the README "Seeding and Hashing"
+        # contract; the reference HLL hardcodes xxh3.xxh64). None
+        # keeps the vectorized fast path.
+        self._hasher = hasher
         self._m = nb_registers
         self._b = math.ceil(math.log2(nb_registers))
         self._correction_bias = _alpha(nb_registers)
@@ -84,8 +90,11 @@ class HyperLogLog:
         return self._m
 
     def update(self, element) -> None:
-        x = (xxh3_64(element, self._seed) if self._hash_family == "xxh3"
-             else xxh64(element, self._seed))
+        if getattr(self, "_hasher", None) is not None:
+            x = self._hasher.serialize(element, self._seed)
+        else:
+            x = (xxh3_64(element, self._seed) if self._hash_family == "xxh3"
+                 else xxh64(element, self._seed))
         k = self.HASH_SIZE - self._b
         register_index = x & (self._m - 1)  # low b bits
         top = x >> self._b  # high k bits
@@ -103,9 +112,13 @@ class HyperLogLog:
         if not isinstance(elements, (pa.Array, pa.ChunkedArray)):
             elements = pa.array([e.encode() if isinstance(e, str) else bytes(e)
                                  for e in elements], type=pa.binary())
-        x = (xxh3_64_arrow(elements, self._seed)
-             if self._hash_family == "xxh3"
-             else xxh64_arrow(elements, self._seed))
+        if getattr(self, "_hasher", None) is not None:
+            x = np.array([self._hasher.serialize(v, self._seed)
+                          for v in elements.to_pylist()], dtype=np.uint64)
+        else:
+            x = (xxh3_64_arrow(elements, self._seed)
+                 if self._hash_family == "xxh3"
+                 else xxh64_arrow(elements, self._seed))
         k = self.HASH_SIZE - self._b
         idx = (x & np.uint64(self._m - 1)).astype(np.int64)
         top = x >> np.uint64(self._b)

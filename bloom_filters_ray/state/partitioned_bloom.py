@@ -33,10 +33,11 @@ class PartitionedBloomFilter:
 
     @classmethod
     def create(cls, size: int, error_rate: float, nb_hashes: int | None = None,
-               seed: int = DEFAULT_SEED) -> "PartitionedBloomFilter":
+               seed: int = DEFAULT_SEED, hasher: "Hashing | None" = None
+               ) -> "PartitionedBloomFilter":
         L = max(nb_hashes if nb_hashes else math.ceil(math.log2(1 / error_rate)), 2)
         M = (size * abs(math.log(error_rate))) / (math.log(2) ** 2)
-        return cls(M, L, error_rate, seed)
+        return cls(M, L, error_rate, seed, hasher)
 
     @classmethod
     def from_items(cls, items, error_rate: float, seed: int = DEFAULT_SEED):

@@ -28,18 +28,23 @@ DEFAULT_RATIO = 0.8
 
 class ScalableBloomFilter:
     def __init__(self, initial_size: int = 128, initial_error_rate: float = 0.001,
-                 ratio: float = DEFAULT_RATIO, seed: int = DEFAULT_SEED):
+                 ratio: float = DEFAULT_RATIO, seed: int = DEFAULT_SEED,
+                 hasher=None):
         self._initial_size = initial_size
         self._initial_error_rate = initial_error_rate
         self._ratio = ratio
         self._seed = seed
+        # custom Hashing (README "Seeding and Hashing" parity): handed
+        # down to every internal PartitionedBloomFilter — the engine
+        # twin of assigning _hashing on each cascade member
+        self._hasher = hasher
         self._filters: list[PartitionedBloomFilter] = []
         self._add_filter()
 
     @classmethod
     def create(cls, size: int, error_rate: float, ratio: float = DEFAULT_RATIO,
-               seed: int = DEFAULT_SEED) -> "ScalableBloomFilter":
-        return cls(size, error_rate, ratio, seed)
+               seed: int = DEFAULT_SEED, hasher=None) -> "ScalableBloomFilter":
+        return cls(size, error_rate, ratio, seed, hasher)
 
     @property
     def current(self) -> PartitionedBloomFilter:
@@ -54,7 +59,8 @@ class ScalableBloomFilter:
             new_error_rate = self.current._error_rate * self._ratio
             new_hashes = math.ceil(self._filters[0]._k + index * math.log2(1 / self._ratio))
         f = PartitionedBloomFilter.create(new_size, new_error_rate, new_hashes,
-                                          seed=self._seed)
+                                          seed=self._seed,
+                                          hasher=getattr(self, "_hasher", None))
         self._filters.append(f)
 
     def add(self, element) -> None:

@@ -64,12 +64,16 @@ class MinHeap:
 
 class TopK:
     def __init__(self, k: int, error_rate: float, accuracy: float,
-                 seed: int = DEFAULT_SEED):
+                 seed: int = DEFAULT_SEED, hasher=None):
         self._k = k
         self._error_rate = error_rate
         self._accuracy = accuracy
         self._seed = seed
-        self._sketch = CountMinSketch.create(error_rate, accuracy, seed)
+        # custom Hashing flows into the internal CMS (the reference
+        # TopK's only hash consumer is its CountMinSketch)
+        self._hasher = hasher
+        self._sketch = CountMinSketch.create(error_rate, accuracy, seed,
+                                             hasher=hasher)
         self._heap = MinHeap()
 
     def add(self, element: str, count: int = 1) -> None:
@@ -86,7 +90,9 @@ class TopK:
                 self._heap.pop_min()
 
     def clear(self) -> None:
-        self._sketch = CountMinSketch.create(self._error_rate, self._accuracy, self._seed)
+        self._sketch = CountMinSketch.create(self._error_rate, self._accuracy,
+                                             self._seed,
+                                             hasher=getattr(self, "_hasher", None))
         self._heap.clear()
 
     def values(self) -> list[dict]:

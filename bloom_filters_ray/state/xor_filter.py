@@ -7,16 +7,15 @@ from bits ``(hash >> (i*21)) % blockLength`` (asUintN(32)); fingerprint
 (<= 100 iterations) until the 3-uniform hypergraph peels completely.
 
 Hash family: XXH3-64 (matching src/bloom/xor-filter.ts:138-140, via
-the pure-numpy bloom_filters_ray.xxh3 implementation). Remaining
-deviation: construction retry seeds come from a seeded Python RNG, not
-seedrandom-ARC4 — the chosen seed is stored in the filter, so queries
-are portable either way.
+the pure-numpy bloom_filters_ray.xxh3 implementation). Construction
+retry seeds follow the reference chain exactly (state/arc4.py
+seedrandom-ARC4: seed=0, then int32() draws with the seed setter
+re-keying the rng per retry, xor-filter.ts:159-165).
 """
 
 from __future__ import annotations
 
 import math
-import random as _random
 
 from ..hashing import DEFAULT_SEED
 from ..xxh3 import xxh3_64
@@ -32,7 +31,7 @@ _MASK32 = (1 << 32) - 1
 
 class XorFilter:
     def __init__(self, size: int, bits_per_fingerprint: int = 8,
-                 seed: int = DEFAULT_SEED):
+                 seed: int = DEFAULT_SEED, hasher=None):
         if bits_per_fingerprint not in ALLOWED_FINGERPRINT_SIZES:
             raise ValueError(
                 f"bits_per_fingerprint must be one of {ALLOWED_FINGERPRINT_SIZES}")
@@ -44,7 +43,10 @@ class XorFilter:
         self._block_length = array_length // _HASHES
         self._filter = [0] * array_length
         self._seed = seed
-        self._rng = _random.Random(seed)
+        # custom Hashing: serialize replaces the reference's public
+        # _hash64 (xor-filter.ts:138-140) — the overridable primitive;
+        # None keeps the vectorized XXH3-64 fast path
+        self._hasher = hasher
 
     @staticmethod
     def _optimal_filter_size(size: int) -> int:
@@ -53,6 +55,8 @@ class XorFilter:
         return int(round(s))
 
     def _hash64(self, element, seed: int) -> int:
+        if self._hasher is not None:
+            return self._hasher.serialize(element, seed)
         return xxh3_64(element, seed)
 
     @staticmethod
@@ -81,7 +85,11 @@ class XorFilter:
 
         if isinstance(values, pa.ChunkedArray):
             values = values.combine_chunks()
-        h = xxh3_64_arrow(values, self._seed)
+        if self._hasher is not None:  # custom hash: per-element path
+            h = np.array([self._hash64(v, self._seed)
+                          for v in values.to_pylist()], dtype=np.uint64)
+        else:
+            h = xxh3_64_arrow(values, self._seed)
         fp = (h ^ (h >> np.uint64(32))) & np.uint64((1 << self._bits) - 1)
         filt = np.asarray(self._filter, dtype=np.uint64)
         bl = np.uint64(self._block_length)
@@ -101,20 +109,32 @@ class XorFilter:
 
     @classmethod
     def create(cls, elements: list, bits_per_fingerprint: int = 8,
-               seed: int = DEFAULT_SEED) -> "XorFilter":
-        return cls(len(elements), bits_per_fingerprint, seed).add(elements)
+               seed: int = DEFAULT_SEED, hasher=None) -> "XorFilter":
+        return cls(len(elements), bits_per_fingerprint, seed,
+                   hasher=hasher).add(elements)
 
     def _create(self, elements: list) -> None:
+        from .arc4 import SeedRandom
+
         n = self._size
         flen = len(self._filter)
         bl = self._block_length
         reverse_order = [0] * n
         reverse_h = [0] * n
+        # reference retry-seed chain (xor-filter.ts:159-165): seed = 0,
+        # then each retry draws int32() from seedrandom(`${seed}`) and
+        # the seed SETTER re-keys the rng — deterministic and
+        # independent of the constructor seed; the chosen seed is
+        # stored, so membership probes are portable either way
+        self._seed = 0
+        rng = SeedRandom("0")
         for _ in range(_MAX_ITERATIONS):
-            self._seed = self._rng.getrandbits(31)
+            self._seed = rng.int32()
+            rng = SeedRandom(str(self._seed))
             t2count = [0] * flen
             t2 = [0] * flen
-            if all(isinstance(e, (str, bytes)) for e in elements):
+            if (self._hasher is None
+                    and all(isinstance(e, (str, bytes)) for e in elements)):
                 import pyarrow as pa
 
                 from ..xxh3 import xxh3_64_arrow

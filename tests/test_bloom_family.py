@@ -223,6 +223,60 @@ class TestCustomHashing:
         h = Hashing()
         assert h.get_indexes("abc", 1000, 7) == get_indexes("abc", 1000, 7)
 
+    def test_cuckoo_scalable_xor_hll_topk(self):
+        """hasher= now reaches every remaining structure: Cuckoo
+        (routes _locations and kick relocation), Scalable (handed to
+        each cascade member), Xor (replaces _hash64 in build and both
+        probe paths), HLL (element hash), TopK (internal CMS)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+        from bloom_filters_ray.state.hyperloglog import HyperLogLog
+        from bloom_filters_ray.state.scalable_bloom import \
+            ScalableBloomFilter
+        from bloom_filters_ray.state.topk import TopK
+        from bloom_filters_ray.state.xor_filter import XorFilter
+
+        items = [f"item-{i}" for i in range(300)]
+        h = self.OneHashing()
+
+        cf = CuckooFilter.create(500, 0.01, hasher=h)
+        for it in items:
+            assert cf.add(it)
+        assert all(cf.has(it) for it in items)
+        cf2 = CuckooFilter.create(500, 0.01)
+        assert cf._locations("item-0") != cf2._locations("item-0")
+
+        sb = ScalableBloomFilter(128, 0.01, hasher=h)
+        sb.add_many(items)
+        assert sb.has_many(items).all()
+        assert all(f._hasher is h for f in sb._filters)
+
+        xf = XorFilter.create(items, bits_per_fingerprint=16, hasher=h)
+        assert all(xf.has(it) for it in items)
+        assert xf.has_many(pa.array(items)).all()
+        xf2 = XorFilter(len(items), 16, seed=xf._seed)
+        assert xf._hash64("item-0", 7) != xf2._hash64("item-0", 7)
+
+        # "standard" mode: the reference estimator is biased in the
+        # sparse regime (n << m, documented in hyperloglog.py), which
+        # would mask a real hash problem here
+        hl = HyperLogLog(1024, mode="standard", hasher=h)
+        hl.update_many(items)
+        hl2 = HyperLogLog(1024, mode="standard")
+        hl2.update_many(items)
+        est = hl.count()
+        assert abs(est - 300) < 100  # same accuracy contract
+        assert not np.array_equal(hl._registers, hl2._registers)
+
+        tk = TopK(5, 1e-3, 0.999, hasher=h)
+        for it in items + ["hot"] * 50:
+            tk.add(it)
+        vals = tk.values()
+        assert vals[0]["value"] == "hot" and vals[0]["frequency"] >= 50
+        assert tk._sketch._hasher is h
+
 
 class TestCuckooReferenceMode:
     def test_reference_indexing_verbatim(self):
@@ -265,3 +319,67 @@ class TestCuckooReferenceMode:
         back = CuckooFilter.from_json(f.save_as_json())
         assert back._mode == "standard"
         assert back.equals(f)
+
+
+class TestSeedRandomARC4:
+    """seedrandom-ARC4 parity (base-filter.ts:11-53): the RC4 core is
+    pinned to the published RC4 keystream vectors; the seedrandom
+    wrapper (mixkey, 256-discard, 48→53-bit double generation, int32)
+    follows David Bau's seedrandom v3.0.5 published source."""
+
+    def test_rc4_published_vectors(self):
+        from bloom_filters_ray.state.arc4 import _ARC4
+
+        for key, want in ((b"Key", "eb9f7781b734ca72a719"),
+                          (b"Wiki", "6044db6d41b7"),
+                          (b"Secret", "04d46b053ca87b59")):
+            a = _ARC4(list(key), discard=False)
+            got = bytes(a.g(1) for _ in range(len(want) // 2)).hex()
+            assert got == want, key
+
+    def test_mixkey_short_seed_is_charcodes(self):
+        from bloom_filters_ray.state.arc4 import mixkey
+
+        s = "78187493520"  # str(0x1234567890), the default seed string
+        assert mixkey(s) == [ord(c) for c in s]
+
+    def test_double_and_int32_properties(self):
+        from bloom_filters_ray.state.arc4 import SeedRandom
+
+        r = SeedRandom("42")
+        xs = [r.random() for _ in range(2000)]
+        assert all(0.0 <= x < 1.0 for x in xs)
+        assert abs(sum(xs) / len(xs) - 0.5) < 0.03
+        r2 = SeedRandom("42")
+        assert [r2.random() for _ in range(2000)] == xs  # deterministic
+        assert SeedRandom("43").random() != xs[0]
+        i = SeedRandom("42").int32()
+        assert -(1 << 31) <= i < (1 << 31)
+
+    def test_cuckoo_reference_kicks_deterministic(self):
+        """mode='reference' kick order comes from the ARC4 stream:
+        overfilled inserts replay identically across instances."""
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        def build():
+            f = CuckooFilter(8, 3, 2, max_kicks=50, mode="reference")
+            results = [f.add(f"e{i}") for i in range(40)]
+            return results, f.save_as_json()
+
+        r1, s1 = build()
+        r2, s2 = build()
+        assert r1 == r2 and s1 == s2
+        assert not all(r1)  # table of 16 slots overflows at 40 adds
+
+    def test_xor_seed_chain_reference_exact(self):
+        """XorFilter construction must use the reference chain: first
+        retry seed = int32 of seedrandom('0'); the chosen seed is
+        stored in the filter."""
+        from bloom_filters_ray.state.arc4 import SeedRandom
+        from bloom_filters_ray.state.xor_filter import XorFilter
+
+        first = SeedRandom("0").int32()
+        xf = XorFilter.create([f"k{i}" for i in range(100)],
+                              bits_per_fingerprint=16)
+        # peeling virtually always succeeds on the first try at n=100
+        assert xf._seed == first
