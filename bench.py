@@ -32,7 +32,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("BENCH_COPIES", "12"))
 PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "32"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "4"))
-REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))  # best-of-N per query
+REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))  # best-of-N per query
 # the scaling protocol needs enough parallel work that per-execution
 # serial costs (~5-8s) amortize; the plain per-round bench stays small
 SCALING_COPIES = int(os.environ.get("BENCH_SCALING_COPIES", "96"))
@@ -181,16 +181,19 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in BENCH_QUERIES.items():
-        if only and name not in only:
-            continue
-        best = None
-        for _ in range(max(REPEAT, 1)):  # best-of-N: steady-state wall
-            t0 = time.perf_counter()     # time, not first-run jitter
-            rows[name] = int(fn(sf_dir)) # (this VM varies ±70%)
+    names = [n for n in BENCH_QUERIES if not only or n in only]
+    # best-of-N with the repeats in OUTER cycles (q1 q2 ... qk, q1 q2
+    # ...): this host's wall time drifts ±70% with a period of minutes,
+    # so consecutive repeats of one query share the same drift phase —
+    # cycling decorrelates the N samples from local drift for free.
+    for _ in range(max(REPEAT, 1)):
+        for name in names:
+            fn = BENCH_QUERIES[name]
+            t0 = time.perf_counter()
+            rows[name] = int(fn(sf_dir))
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            if name not in times or dt < times[name]:
+                times[name] = round(dt, 3)
     ray.shutdown()
     return {
         "metric": "headline pipeline wall time (dedup tiers, sketches, image features, ANN, substring)",
@@ -209,16 +212,22 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     """North-rule scaling evidence: same job, fresh processes, N vs 4N
     CPUs (sandbox stand-in for N vs 4N nodes), identical input and
-    partitioning. Legs are INTERLEAVED (lo, hi, lo, hi) and the best
-    throughput per leg is kept: this host's performance drifts ±50%
-    over tens of minutes, so back-to-back single legs measure drift,
-    not scaling (BASELINE.md records the drift probes)."""
+    partitioning. Legs are INTERLEAVED (lo, hi, lo, hi, ... —
+    BENCH_SCALE_LEGS per level, default 3) and the best throughput
+    per leg is kept: this host's performance drifts ±50% over tens of
+    minutes, so back-to-back single legs measure drift, not scaling
+    (BASELINE.md records the drift probes)."""
     lo, hi = SCALE_N, 4 * SCALE_N
     best: dict[int, dict] = {}
-    for cpus in (lo, hi, lo, hi):
+    legs = int(os.environ.get("BENCH_SCALE_LEGS", "3"))  # per level
+    for cpus in (lo, hi) * max(legs, 1):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                    BENCH_COPIES=str(SCALING_COPIES),
                    BENCH_PARTITIONS=str(PARTITIONS))
+        # 2 in-process repeats x BENCH_SCALE_LEGS legs = 6 samples per
+        # level; more in-process repeats would stretch each leg past
+        # the host's drift period and stop sampling it
+        env.setdefault("BENCH_REPEAT", "2")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              "full_neardup"],
