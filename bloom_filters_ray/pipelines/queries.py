@@ -292,6 +292,11 @@ ORACLES: dict[str, str] = {
         SELECT min(image_id) AS image_id, TRUE AS present
         FROM corpus GROUP BY caption
     """,
+    "cuckoo_members": f"""
+        WITH {CORPUS_SQL}
+        SELECT min(image_id) AS image_id, TRUE AS present
+        FROM corpus GROUP BY caption
+    """,
     "ngram_jaccard": """
         WITH pairs AS (
             SELECT doc_id, trim(text) AS a,
@@ -558,6 +563,40 @@ def q_xor_members(sf_dir: str):
     return reps.map_batches(probe, batch_format="pyarrow")
 
 
+def q_cuckoo_members(sf_dir: str):
+    """Static-set membership via CuckooFilters over the exact-tier
+    representative ids. Cuckoo insertion is a sequential kick chain
+    (not mergeable, not vectorizable), so the scale shape is
+    CO-PARTITIONED build+probe: each block builds its own filter and
+    probes its own members inside ONE task — no broadcast, no cross-
+    shard probes, work scales with blocks. No false negatives means
+    every member probes True; the (deterministic-seed) chance of an
+    insert failing its kick budget is absorbed by an exact overflow
+    stash, as a production cuckoo table would (reference semantics:
+    cuckoo-filter.ts add/has)."""
+    from ..state.cuckoo import CuckooFilter
+    from .dedup import exact_tier
+
+    cfg = DedupConfig()
+    ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
+        ["image_id", "caption"])
+    reps = exact_tier(ds, cfg).filter(expr="is_rep == True") \
+        .select_columns(["image_id"])
+
+    def build_probe(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch["image_id"].to_pylist()]
+        if not ids:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "present": pa.array([], type=pa.bool_())})
+        f = CuckooFilter.create(len(ids), error_rate=0.01)
+        stash = {x for x in ids if not f.add(x)}
+        present = [f.has(x) or x in stash for x in ids]
+        return pa.table({"image_id": pa.array(ids, type=pa.string()),
+                         "present": pa.array(present, type=pa.bool_())})
+
+    return reps.map_batches(build_probe, batch_format="pyarrow")
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact token-set Jaccard of each planted near-dup pair (variant 0
     caption vs variant 2 caption per doc) — the deterministic oracle
@@ -734,6 +773,7 @@ QUERIES = {
     "image_simhash": q_image_simhash,
     "events_window": q_events_window,
     "xor_members": q_xor_members,
+    "cuckoo_members": q_cuckoo_members,
     "ngram_jaccard": q_ngram_jaccard,
     "topk_sketch": q_topk_sketch,
     "seenset_mark": q_seenset_mark,
