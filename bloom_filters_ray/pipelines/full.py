@@ -175,8 +175,7 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
         for batch in edge_ds.iter_batches(batch_size=1 << 16,
                                           batch_format="pyarrow"):
             n_edges += len(batch)
-            for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-                uf.union(x, y)
+            uf.union_many(batch["a"], batch["b"])
     comp = uf.components()
 
     # execution 5 (lazy): final assignment
