@@ -44,6 +44,41 @@ from ..hashing import DEFAULT_SEED, xxh64_u64
 _B = np.uint64(0x9E3779B97F4A7C15)
 _BINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
+# Per-worker grow-only caches. Pow tables are pure functions of the
+# index and scratch is overwritten every call, so both amortize to zero
+# fresh pages across blocks — first-touch page faults are the dominant
+# kernel cost on this class of host (BASELINE.md), and a cumprod per
+# block re-faults the whole table every time. Ray workers run one task
+# at a time per process, so module state needs no locking.
+_POW_CACHE: dict[str, np.ndarray] = {}
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _pow_table(key: str, n: int) -> np.ndarray:
+    """First *n* powers of _B ("b") or _BINV ("binv"), cached grow-only
+    (doubling) per worker process."""
+    arr = _POW_CACHE.get(key)
+    if arr is None or len(arr) < n:
+        m = max(n, 1 << 16, 0 if arr is None else 2 * len(arr))
+        base = _B if key == "b" else _BINV
+        new = np.empty(m, dtype=np.uint64)
+        new[0] = 1
+        if m > 1:
+            np.cumprod(np.full(m - 1, base, dtype=np.uint64), out=new[1:])
+        _POW_CACHE[key] = new
+        arr = new
+    return arr[:n]
+
+
+def _scratch_buf(name: str, n: int, dtype) -> np.ndarray:
+    """Reused uninitialized scratch of at least *n* elements."""
+    arr = _SCRATCH.get(name)
+    if arr is None or len(arr) < n or arr.dtype != dtype:
+        m = max(n, 1 << 16, 0 if arr is None else 2 * len(arr))
+        arr = np.empty(m, dtype=dtype)
+        _SCRATCH[name] = arr
+    return arr[:n]
+
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
     """Suffix array of an int array by prefix doubling."""
@@ -94,7 +129,25 @@ def _hash_match_candidates(ww: np.ndarray, qh: np.ndarray
     a query hash ``qh[q]`` — one sorted-side binary search over the
     (small) query set per position, never a per-query scan of ``ww``.
     Returns (positions, query indices), expanded for hash multiplicity.
+
+    Small query sets (the common shape: a handful of shorts per
+    length) take an equality-scan fast path — one reused 1-byte mask
+    per query instead of two searchsorted passes materializing three
+    8-byte arrays over every window position.
     """
+    if len(qh) <= 16:
+        tmp = _scratch_buf("hmc_mask", len(ww), np.bool_)
+        outp: list[np.ndarray] = []
+        outq: list[np.ndarray] = []
+        for qi in range(len(qh)):
+            np.equal(ww, qh[qi], out=tmp)
+            p = np.flatnonzero(tmp)
+            if len(p):
+                outp.append(p)
+                outq.append(np.full(len(p), qi, dtype=np.int64))
+        if not outp:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return np.concatenate(outp), np.concatenate(outq)
     order = np.argsort(qh, kind="stable")
     qs = qh[order]
     lo = np.searchsorted(qs, ww, side="left")
@@ -164,13 +217,10 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
 
     def direct_hash(s: np.ndarray, L: int) -> np.ndarray:
         """h(s, L) by direct evaluation — for small position sets.
-        Binv powers come from an array cumprod (mod-2^64 wraparound is
+        Binv powers come from the cached table (mod-2^64 wraparound is
         intentional; scalar uint64 multiplies would spam
         RuntimeWarnings and cost time in a hot per-task kernel)."""
-        pows = np.empty(max(L, 1), dtype=np.uint64)
-        pows[0] = 1
-        if L > 1:
-            np.cumprod(np.full(L - 1, Binv, dtype=np.uint64), out=pows[1:])
+        pows = _pow_table("binv", max(L, 1))
         acc = np.zeros(len(s), dtype=np.uint64)
         for u in range(L):
             acc += text[s + u].astype(np.uint64) * pows[u]
@@ -196,15 +246,10 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
         freq32 = np.full(total, np.uint32(0xFFFFFFFF), dtype=np.uint32)
         nv = 0
         maxspan = chunk + A - 1
-        binv_pows = np.empty(maxspan, dtype=np.uint64)   # Binv^0..
-        binv_pows[0] = 1
-        np.cumprod(np.full(maxspan - 1, Binv, dtype=np.uint64),
-                   out=binv_pows[1:])
-        b_pows = np.empty(chunk, dtype=np.uint64)        # B^0..
-        b_pows[0] = 1
-        np.cumprod(np.full(chunk - 1, B, dtype=np.uint64), out=b_pows[1:])
-        tb = np.empty(maxspan, dtype=np.uint64)
-        hh = np.empty(chunk, dtype=np.uint64)
+        binv_pows = _pow_table("binv", maxspan)          # Binv^0..
+        b_pows = _pow_table("b", chunk)                  # B^0..
+        tb = _scratch_buf("kern_tb", maxspan, np.uint64)
+        hh = _scratch_buf("kern_hh", chunk, np.uint64)
         for c0 in range(0, nw, chunk):
             c1 = min(c0 + chunk, nw)
             span = c1 - c0 + A - 1  # text bytes needed: [c0, c1-1+A)
@@ -270,14 +315,10 @@ def substring_contained_flags(captions: list[bytes]) -> np.ndarray:
     # corpus) per-row scan (final byte-verify stays collision-proof).
     short_lens = np.unique(lens[(lens > 0) & (lens < A)])
     if len(short_lens):
-        powBinv_full = np.concatenate(
-            ([np.uint64(1)],
-             np.cumprod(np.full(total - 1, Binv, dtype=np.uint64))))
+        powBinv_full = _pow_table("binv", total)
+        powB_full = _pow_table("b", total)
         C = np.zeros(total + 1, dtype=np.uint64)
         np.cumsum(text.astype(np.uint64) * powBinv_full, out=C[1:])
-        powB_full = np.concatenate(
-            ([np.uint64(1)],
-             np.cumprod(np.full(total - 1, B, dtype=np.uint64))))
         cum_desc = ends
         for L in short_lens:
             L = int(L)
@@ -517,11 +558,7 @@ def _short_side(shorts: pa.Table, id_col: str, text_col: str):
     groups: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
     maxL = int(slens.max()) if len(slens) else 0
     if maxL:
-        pows = np.empty(maxL, dtype=np.uint64)
-        pows[0] = 1
-        if maxL > 1:
-            np.cumprod(np.full(maxL - 1, _BINV, dtype=np.uint64),
-                       out=pows[1:])
+        pows = _pow_table("binv", maxL)
         for L in np.unique(slens[slens > 0]):
             L = int(L)
             idx = np.flatnonzero(slens == L)
@@ -570,20 +607,22 @@ def make_short_probe_fn(short_ref, id_col: str = "image_id",
                     hit[empty_idx] = np.array(
                         [sids[int(j)] != one for j in empty_idx])
             if groups and total > 0:
-                C = np.zeros(total + 1, dtype=np.uint64)
-                np.cumsum(text.astype(np.uint64) * np.concatenate(
-                    ([np.uint64(1)],
-                     np.cumprod(np.full(total - 1, _BINV,
-                                        dtype=np.uint64)))), out=C[1:])
-                powB = np.concatenate(
-                    ([np.uint64(1)],
-                     np.cumprod(np.full(total - 1, _B, dtype=np.uint64))))
+                powBinv = _pow_table("binv", total)
+                powB = _pow_table("b", total)
+                tmp = _scratch_buf("probe_tmp", total, np.uint64)
+                tmp[:] = text          # uint8 -> uint64 widening copy
+                np.multiply(tmp, powBinv, out=tmp)
+                C = _scratch_buf("probe_C", total + 1, np.uint64)
+                C[0] = 0
+                np.cumsum(tmp, out=C[1:])
                 starts_r, ends_r = rel[:-1], rel[1:]
                 for L, idx, qh, qst in groups:
                     if total < L:
                         continue
                     nw = total - L + 1
-                    ww = (C[L : L + nw] - C[:nw]) * powB[:nw]
+                    ww = _scratch_buf("probe_ww", nw, np.uint64)
+                    np.subtract(C[L : L + nw], C[:nw], out=ww)
+                    np.multiply(ww, powB[:nw], out=ww)
                     posr, qsel = _hash_match_candidates(ww, qh)
                     if not len(posr):
                         continue
