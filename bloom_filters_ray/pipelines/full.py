@@ -9,26 +9,37 @@ phash) rows (BASELINE.json:input_hint).
                 (payload, caption) pair
       ▼ reps (filtered inline from the materialized exact tier)
     signature stage: shingle → MinHash sigs, phash carried through
-      ▼ sigs (image_id, sig, phash) — ONE materialization; caption
-      │       verification side data is broadcast below
-      │       broadcast_limit, a two-sided hash join above it
-      ├─ caption tier: LSH band shuffle → pairs → positional-Jaccard
-      │     verify ≥ τ → edges
-      └─ image tier: phash Hamming bands → band shuffle → pairs →
-            Hamming verify ≤ t → edges
+      ▼ sigs (image_id, sig, phash) — ONE materialization; the
+      │       (ids, sig matrix, phash codes) side table is broadcast
+      │       once below broadcast_limit
       ▼
-    edges = caption ∪ image (single consuming execution) → union-find
+    MERGED band tier (default, broadcast path): ONE (band_key, id)
+    stream carrying BOTH tiers — caption LSH band keys with the top
+    bit cleared, phash Hamming-chunk keys with the top bit set — one
+    keyed shuffle, then an in-block emitter that splits buckets by
+    key sign and emits already-VERIFIED edges for both tiers
+    (positional-Jaccard ≥ τ against the broadcast sig matrix; in-
+    bucket vectorized Hamming ≤ t with codes fetched from the same
+    broadcast side table, never shuffled)
+      ▼
+    edges → union-find (driver) or star contraction (distributed)
       ▼
     assignment map over the exact tier (broadcast component map)
 
-Scale discipline (SURVEY.md §4): three keyed shuffles total
-(exact_key, caption band_key, phash band_key), none of which carries
-image bytes, captions beyond the signature stage, or signatures
-(band rows are (band_key, id) only); verification side-data is
-broadcast below ``broadcast_limit`` and a hash join above it; hot
-buckets capped to O(s) spanning edges. Dataset executions are fused
-to five — per-execution executor/actor startup is a *serial* cost
-that caps scaling efficiency long before compute does.
+Scale discipline (SURVEY.md §4): TWO keyed shuffles total on the
+default path (exact_key, merged band_key), neither of which carries
+image bytes, captions beyond the signature stage, signatures or
+phash codes (band rows are (band_key, id) only). Dataset executions
+are fused to FOUR — per-execution executor/actor startup is a
+*serial* cost that caps scaling efficiency long before compute does
+(the round-3 scaling runs put the serial floor at ~6-9 s of a 16-CPU
+leg, most of it executor+shuffle-aggregator spin-up).
+
+Above ``broadcast_limit`` (or with hot-band salting enabled) the
+pipeline falls back to the split-tier structure: caption pairs
+verified by an explicit two-sided hash join, the phash tier shuffling
+its codes with the band rows — one more shuffle + execution, but no
+driver-side collection of the signature table.
 """
 
 from __future__ import annotations
@@ -39,8 +50,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import xxh64_arrow
-from ..stages.neardup import UnionFind, make_rep_block, make_signature_fn
+from ..stages.neardup import (UnionFind, _BroadcastLookup,
+                              dedupe_pairs_block, make_band_rows,
+                              make_pair_emitter, make_rep_block,
+                              make_signature_fn, sig_matrix)
 from ..stages.simhash import (make_bucket_hamming_emitter,
+                              make_code_band_rows,
                               make_code_band_rows_with_code)
 from ..util import ensure_hash_shuffle
 from .dedup import (DedupConfig, _ckpt, assign_clusters, candidate_pairs,
@@ -96,6 +111,92 @@ def _sig_with_phash(cfg: DedupConfig):
     return fn
 
 
+_TOP_BIT = np.uint64(1) << np.uint64(63)
+_LOW_63 = ~_TOP_BIT
+
+
+def _unified_band_rows(ccfg: DedupConfig, bits_per_band: int):
+    """One pass over the signature table emitting BOTH tiers' band
+    rows as a single (band_key, id) stream: caption LSH keys get the
+    top bit cleared, phash Hamming-chunk keys get it set, so one keyed
+    shuffle co-locates both tiers' buckets and the emitter separates
+    them by key sign. Neither signatures nor codes ride along — the
+    emitter reads both from the broadcast side table."""
+    cap_fn = make_band_rows(ccfg.id_col, ccfg.bands, ccfg.rows_per_band,
+                            ccfg.seed)
+    img_fn = make_code_band_rows("phash", ccfg.id_col, bits_per_band,
+                                 ccfg.seed)
+
+    def _retag(table: pa.Table, set_top: bool) -> pa.Table:
+        k = table["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        k = (k | _TOP_BIT) if set_top else (k & _LOW_63)
+        return table.set_column(0, "band_key", pa.array(k.view(np.int64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([_retag(cap_fn(batch), False),
+                                 _retag(img_fn(batch), True)])
+
+    return fn
+
+
+_SIDE_CACHE: dict = {}
+
+
+def _cached_side(ref):
+    """Worker-cached (sig lookup, phash code vector) built once from
+    the broadcast side table (plasma shared memory, fetched per
+    worker, not per batch)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _SIDE_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        ids, sigs, codes = ray.get(ref)
+        hit = (_BroadcastLookup(ids, sigs), codes)
+        _SIDE_CACHE.clear()
+        _SIDE_CACHE[key] = hit
+    return hit
+
+
+def make_unified_edge_emitter(id_col: str, side_ref, threshold: float,
+                              max_bucket: int, max_distance: int):
+    """Whole-block fn over the hash-partitioned merged band rows:
+    image buckets (band_key < 0) run the in-bucket vectorized Hamming
+    emitter with codes gathered from the broadcast side table; caption
+    buckets run the capped pair emitter + block dedupe + positional-
+    Jaccard verification against the broadcast signature matrix.
+    Output: verified (a, b) edges from both tiers."""
+    pair_fn = make_pair_emitter(id_col, max_bucket)
+    ham_fn = make_bucket_hamming_emitter(id_col, max_distance)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lk, codes = _cached_side(side_ref)
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        img_mask = keys < 0
+        outs = []
+        if not img_mask.all():
+            pairs = dedupe_pairs_block(
+                pair_fn(batch.filter(pa.array(~img_mask))))
+            if len(pairs):
+                sim = (lk.rows(pairs["a"]) == lk.rows(pairs["b"])) \
+                    .mean(axis=1)
+                outs.append(pairs.select(["a", "b"])
+                            .filter(pa.array(sim >= threshold)))
+        if img_mask.any():
+            img_rows = batch.filter(pa.array(img_mask))
+            code_col = pa.array(
+                codes[lk.positions(img_rows[id_col])].view(np.int64))
+            edges = ham_fn(img_rows.append_column("code", code_col))
+            outs.append(edges.select(["a", "b"]))
+        outs = [t for t in outs if len(t)]
+        if not outs:
+            empty = pa.array([], type=batch.schema.field(id_col).type)
+            return pa.Table.from_arrays([empty, empty], names=["a", "b"])
+        return pa.concat_tables(outs)
+
+    return fn
+
+
 def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     """Returns (assignments Dataset, stats dict). *ds* needs columns
     [image_id, bytes, caption, phash]."""
@@ -119,11 +220,63 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     sigs = _ckpt(sigs, ccfg, "full_sigs")
     n_reps = sigs.count()
 
-    # caption tier (shuffle 2): bands → pairs → verify → edges.
-    # Verification side data is broadcast while the signature table is
-    # small (one driver collect + ray.put, worker-cached) and an
-    # explicit two-sided hash join above broadcast_limit — the driver
-    # never holds an unbounded table.
+    if n_reps <= ccfg.broadcast_limit and ccfg.hot_threshold is None:
+        # MERGED band tier (default): one shuffle, one execution for
+        # both tiers; edges come out already verified. Side data (sig
+        # matrix + phash codes) is broadcast once via ray.put.
+        import ray
+
+        side = pa.concat_tables(
+            [b for b in sigs.select_columns([ccfg.id_col, "sig", "phash"])
+             .iter_batches(batch_size=1 << 16, batch_format="pyarrow")])
+        side_ref = ray.put((
+            side[ccfg.id_col].to_pylist(), sig_matrix(side),
+            side["phash"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64)))
+        bands = sigs.map_batches(
+            _unified_band_rows(ccfg, cfg.phash_bits_per_band),
+            batch_format="pyarrow")
+        bands = bands.repartition(ccfg.partitions(), keys=["band_key"])
+        edges = bands.map_batches(
+            make_unified_edge_emitter(ccfg.id_col, side_ref,
+                                      ccfg.threshold, ccfg.max_bucket,
+                                      cfg.phash_max_distance),
+            batch_format="pyarrow", batch_size=None)
+        if ccfg.cc == "distributed":
+            from .dedup import assign_clusters_distributed
+
+            edges_m = edges.materialize()
+            assignments, cc_stats = assign_clusters_distributed(
+                exact, edges_m, ccfg)
+            return assignments, {
+                "n_input": n_input,
+                "n_unique_pairs": n_reps,
+                "n_edges": edges_m.count(),
+                **cc_stats,
+            }
+        # execution 3: band shuffle → verified edges → union-find
+        uf = UnionFind()
+        n_edges = 0
+        for batch in edges.iter_batches(batch_size=1 << 16,
+                                        batch_format="pyarrow"):
+            n_edges += len(batch)
+            uf.union_many(batch["a"], batch["b"])
+        comp = uf.components()
+        # execution 4 (lazy): final assignment
+        assignments = assign_clusters(exact, comp, ccfg)
+        return assignments, {
+            "n_input": n_input,
+            "n_unique_pairs": n_reps,
+            "n_edges": n_edges,
+            "n_dup_ids_in_components": len(comp),
+            "n_components": len(set(comp.values())),
+        }
+
+    # SPLIT-TIER fallback (above broadcast_limit, or hot-band salting
+    # requested): caption pairs verified by an explicit two-sided hash
+    # join — the driver never holds the signature table; phash codes
+    # travel WITH the image band rows (8 bytes/row) for in-bucket
+    # Hamming. One extra shuffle + execution vs the merged path.
     pairs = candidate_pairs(sigs, ccfg)
     if n_reps <= ccfg.broadcast_limit:
         sig_table = pa.concat_tables(
@@ -134,9 +287,6 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     else:
         cap_edges = verify_pairs_join(pairs, sigs, ccfg) \
             .select_columns(["a", "b"])
-    # image tier (shuffle 3): codes travel WITH the band rows (8
-    # bytes/row) and Hamming is verified inside each bucket — no
-    # candidate-pair blowup, no broadcast, no separate verify stage
     img_bands = sigs.map_batches(
         make_code_band_rows_with_code("phash", ccfg.id_col,
                                       cfg.phash_bits_per_band, ccfg.seed),

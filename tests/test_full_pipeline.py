@@ -93,3 +93,25 @@ class TestDistributedCCPath:
             .reset_index(drop=True)
         assert a.equals(b)
         assert stats["n_components"] > 0
+
+
+class TestSaltedFallbackPath:
+    def test_hot_threshold_forces_split_tier_and_matches(self, full_result,
+                                                         ray_session):
+        """hot_threshold opts into band salting, which runs on the
+        split-tier fallback; with a threshold no band actually exceeds,
+        assignments must equal the merged default path."""
+        from bloom_filters_ray.pipelines.dedup import DedupConfig
+        from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                      full_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        df_b, _ = full_result
+        cfg = FullDedupConfig(caption=DedupConfig(hot_threshold=1 << 20))
+        ds = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "caption", "phash"])
+        assignments, _ = full_dedup_pipeline(ds, cfg)
+        a = df_b.sort_values("image_id").reset_index(drop=True)
+        b = assignments.to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
+        assert a.equals(b)
