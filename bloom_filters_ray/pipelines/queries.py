@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import DEFAULT_SEED
-from ..sources.synthetic import CORPUS_SQL, corpus_dataset
+from ..sources.synthetic import CORPUS_SQL, EMB_ZEROED_SQL, corpus_dataset
 from ..stages.sketch_aggs import build_bloom, build_cms, build_hll, make_bloom_probe_fn
 from ..stages.textstats import (LANG_PROFILES, make_fingerprint_fn,
                                 make_langid_fn, make_quality_fn,
@@ -327,6 +327,12 @@ ORACLES: dict[str, str] = {
                        WHERE b.caption <> a.caption
                          AND contains(b.caption, a.caption)) AS contained
         FROM uniq a
+    """,
+    "emb_dup_pairs": f"""
+        WITH {EMB_ZEROED_SQL}
+        SELECT a.emb_id AS a, b.emb_id AS b
+        FROM zeroed_variants a JOIN zeroed_variants b ON a.emb_id < b.emb_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
     "ann_topk": """
         SELECT qid AS query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
@@ -728,6 +734,27 @@ def q_ann_ivf(sf_dir: str):
                     n_centroids=32, nprobe=8)
 
 
+def q_emb_dup_pairs(sf_dir: str):
+    """Exact cosine-threshold duplicate pairs over the SQL-reproducible
+    zeroed-coordinate variant corpus (one planted near-dup per vector
+    at cos≈0.992; threshold 0.95 sits in a ≥0.35 empirical gap, so the
+    float64-numpy vs DuckDB comparison cannot flip a pair): blocked
+    matmul against the broadcast normalized matrix — the brute-force
+    baseline the banded embedding_neardup pipeline approximates at
+    scale (stages/ann.py: exact_cosine_pairs)."""
+    import ray.data
+
+    from ..sources.synthetic import make_zeroed_variants
+    from ..stages.ann import exact_cosine_pairs
+
+    ensure_hash_shuffle()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    variants = ds.map_batches(make_zeroed_variants,
+                              batch_format="pyarrow") \
+        .select_columns(["emb_id", "embedding"]).materialize()
+    return exact_cosine_pairs(variants, 0.95, id_col="emb_id")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup clustering over the planted-near-dup
     embedding corpus (projection-LSH bands + exact cosine verify)."""
@@ -780,6 +807,7 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "emb_dup_pairs": q_emb_dup_pairs,
     "embedding_neardup": q_embedding_neardup,
     "image_neardup": q_image_neardup,
 }

@@ -271,6 +271,54 @@ def make_embedding_variants(batch: pa.Table, eps: float = 0.1) -> pa.Table:
         schema=EMB_SCHEMA)
 
 
+# SQL twin of make_zeroed_variants — the oracle-checkable embedding
+# expansion (a DuckDB CTE body over the pre-registered `embeddings`
+# view). Unlike make_embedding_variants' hash-keystream noise, zeroing
+# one coordinate is expressible in SQL, so pair queries over this
+# corpus join the hard oracle gate.
+EMB_ZEROED_SQL = """zeroed_variants AS (
+    SELECT vec_id * 2 AS emb_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id * 2 + 1,
+           list_transform(embedding,
+               (x, i) -> CASE WHEN i - 1 = vec_id % 64 THEN 0 ELSE x END)
+    FROM embeddings)"""
+
+
+def make_zeroed_variants(batch: pa.Table) -> pa.Table:
+    """SQL-reproducible planted near-dup expansion: variant 1 zeroes
+    coordinate ``vec_id % dim`` of the original vector, giving
+    cosine(v0, v1) = sqrt(1 - x_i^2/||v||^2) ≈ 0.992 at dim=64 while
+    unrelated pairs stay below ~0.6 — a wide, float-precision-proof
+    margin around any threshold in between. ``emb_id = vec_id*2 +
+    variant``; content-derived, invariant to partitioning. Oracle
+    twin: EMB_ZEROED_SQL."""
+    vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int32)
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(vec_ids)
+    E = np.asarray(col.values, dtype=np.float64).reshape(n, -1)
+    d = E.shape[1]
+    E2 = E.copy()
+    E2[np.arange(n), vec_ids % d] = 0.0
+    out = np.empty((2 * n, d), dtype=np.float64)
+    out[0::2] = E
+    out[1::2] = E2
+    emb_ids = np.empty(2 * n, dtype=np.int64)
+    emb_ids[0::2] = vec_ids * 2
+    emb_ids[1::2] = vec_ids * 2 + 1
+    flat = pa.array(out.ravel().astype(np.float32))
+    emb_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(2 * n + 1, dtype=np.int32) * d), flat)
+    return pa.Table.from_arrays(
+        [pa.array(emb_ids), pa.array(np.repeat(vec_ids, 2)),
+         pa.array(np.tile(np.array([0, 1], dtype=np.int32), n)),
+         emb_col, pa.array(np.repeat(labels, 2))],
+        schema=EMB_SCHEMA)
+
+
 def embedding_corpus(sf_dir: str, eps: float = 0.1,
                      parallelism: int | None = None):
     """Lazy Ray Dataset of the planted-near-dup embedding corpus."""

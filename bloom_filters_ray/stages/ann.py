@@ -53,6 +53,53 @@ def normalize_rows(E: np.ndarray) -> np.ndarray:
     return E / n
 
 
+def make_block_pair_fn(corpus_ref, threshold: float,
+                       id_col: str = "vec_id", emb_col: str = "embedding"):
+    """map_batches fn: score the block's rows against the broadcast
+    normalized corpus matrix and emit (a, b) id pairs with cosine ≥
+    *threshold*. Each unordered pair comes out exactly once — only
+    from the block holding its smaller id."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .sketch_aggs import _plain_fetch
+
+        ids_all, M = _plain_fetch(corpus_ref)
+        E = normalize_rows(embedding_matrix(batch[emb_col]))
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = E @ M.T  # (b, n)
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = bid[ii], ids_all[jj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return fn
+
+
+def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
+                       emb_col: str = "embedding"):
+    """Exact cosine-threshold duplicate-pair extraction: blocked
+    matmul of every dataset block against the broadcast normalized
+    corpus matrix (``ray.put`` once, fetched once per worker). This is
+    the brute-force verification baseline — O(n·corpus) FLOPs spread
+    across blocks, valid while the corpus matrix fits the object
+    store; beyond that, the LSH-banded ``embedding_neardup`` pipeline
+    is the scale path and this function is its recall oracle.
+
+    *ds* should be materialized (it is consumed twice: the corpus
+    collect and the pair scan). Returns a Dataset of (a, b) int64
+    pairs, each unordered pair exactly once."""
+    import ray
+
+    tbl = pa.concat_tables(
+        [b for b in ds.select_columns([id_col, emb_col])
+         .iter_batches(batch_size=1 << 16, batch_format="pyarrow")])
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((ids, normalize_rows(embedding_matrix(tbl[emb_col]))))
+    return ds.map_batches(
+        make_block_pair_fn(ref, threshold, id_col, emb_col),
+        batch_format="pyarrow")
+
+
 def make_block_topk_fn(query_ref, k: int, id_col: str = "vec_id",
                        emb_col: str = "embedding", exclude_self: bool = True):
     """map_batches fn emitting each block's top-k neighbors per query:

@@ -353,3 +353,44 @@ class TestSimhashNeardup:
         # exact duplicates always share a cluster (same rep)
         v1 = d[d.v == 1].set_index("doc").cluster_id
         assert (base.loc[v1.index] == v1).all()
+
+
+class TestExactCosinePairs:
+    def test_planted_pairs_and_uniqueness(self, ray_session):
+        """exact_cosine_pairs over the zeroed-variant corpus: every
+        emitted pair is unique and a<b; planted (2v, 2v+1) pairs with
+        cosine >= tau are all present (exact recall by construction);
+        a numpy all-pairs reference reproduces the set exactly."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.sources.synthetic import make_zeroed_variants
+        from bloom_filters_ray.stages.ann import (embedding_matrix,
+                                                  exact_cosine_pairs,
+                                                  normalize_rows)
+
+        tau = 0.95
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        variants = ds.map_batches(make_zeroed_variants,
+                                  batch_format="pyarrow") \
+            .select_columns(["emb_id", "embedding"]) \
+            .repartition(6).materialize()
+        got = exact_cosine_pairs(variants, tau, id_col="emb_id").to_pandas()
+        pairs = set(zip(got.a.tolist(), got.b.tolist()))
+        assert len(pairs) == len(got)          # unique
+        assert (got.a < got.b).all()
+
+        tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        vt = make_zeroed_variants(tbl)
+        ids = vt["emb_id"].to_numpy()
+        M = normalize_rows(embedding_matrix(vt["embedding"]))
+        sims = M @ M.T
+        ii, jj = np.nonzero(sims >= tau)
+        keep = ids[ii] < ids[jj]
+        want = set(zip(ids[ii][keep].tolist(), ids[jj][keep].tolist()))
+        assert pairs == want
+        # planted near-dups dominate: most vectors' (2v, 2v+1) kept
+        n_vec = len(tbl)
+        planted = sum((2 * v, 2 * v + 1) in pairs for v in range(n_vec))
+        assert planted >= 0.95 * n_vec
