@@ -457,6 +457,22 @@ def q_image_simhash(sf_dir: str):
                           batch_size=256)
 
 
+def q_image_dctphash(sf_dir: str):
+    """DCT perceptual hash recomputed from decoded pixels (actor-pool
+    decode → bilinear 32×32 luma → ONE batched 2-D orthonormal DCT per
+    batch → median-threshold 8×8 low block): the classic pHash, the
+    higher-robustness alternative to the source's average hash; feeds
+    the same Hamming banding machinery (stages/multimodal.py:
+    PhashStage(kind='dct'))."""
+    from ..stages.multimodal import PhashStage
+
+    ds = corpus_dataset(sf_dir, with_bytes=True).select_columns(
+        ["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(PhashStage(kind="dct"), batch_format="pyarrow",
+                          batch_size=256, concurrency=4) \
+        .select_columns(["image_id", "phash"])
+
+
 def q_simhash_neardup(sf_dir: str):
     """SimHash caption near-dup clustering: exact tier → 64-bit text
     SimHash codes → pigeonhole Hamming banding (codes travel with band
@@ -798,6 +814,7 @@ QUERIES = {
     "text_simhash": q_text_simhash,
     "simhash_neardup": q_simhash_neardup,
     "image_simhash": q_image_simhash,
+    "image_dctphash": q_image_dctphash,
     "events_window": q_events_window,
     "xor_members": q_xor_members,
     "cuckoo_members": q_cuckoo_members,

@@ -66,6 +66,53 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])  # Rec. 601
+
+_DCT_CACHE: dict = {}
+
+
+def dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the published transform:
+    B[k,j] = s_k * sqrt(2/n) * cos((2j+1)kπ/2n), s_0 = 1/sqrt(2)),
+    cached per size — built once per worker."""
+    b = _DCT_CACHE.get(n)
+    if b is None:
+        k = np.arange(n, dtype=np.float64)[:, None]
+        j = np.arange(n, dtype=np.float64)[None, :]
+        b = np.sqrt(2.0 / n) * np.cos((2 * j + 1) * k * np.pi / (2 * n))
+        b[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = b
+    return b
+
+
+def dct_phash_batch(lumas: np.ndarray, keep: int = 8) -> np.ndarray:
+    """64-bit DCT perceptual hashes for an (n, s, s) float luma batch:
+    2-D orthonormal DCT-II as two batched matmuls against the cached
+    basis, keep the top-left keep×keep low-frequency block, bit =
+    coefficient > block median (the classic pHash scheme: median over
+    all keep² coefficients including DC). Invariant to uniform
+    brightness scaling (the DCT is linear, the median scales with the
+    coefficients). Returns (n,) int64 codes, MSB = coefficient (0,0).
+    """
+    n = len(lumas)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    D = dct_basis(lumas.shape[1])
+    co = D @ lumas.astype(np.float64) @ D.T  # batched over axis 0
+    low = co[:, :keep, :keep].reshape(n, keep * keep)
+    med = np.median(low, axis=1, keepdims=True)
+    packed = np.packbits(low > med, axis=1)
+    return np.ascontiguousarray(packed).view(">u8").ravel() \
+        .astype(np.uint64).view(np.int64)
+
+
+def dct_phash(img: np.ndarray, size: int = 32, keep: int = 8) -> int:
+    """Scalar DCT pHash of one (h, w, 3) uint8 image: bilinear resize
+    to size×size, Rec.601 luma, then the batched kernel."""
+    luma = resize_bilinear(img, size, size).astype(np.float64) @ _LUMA
+    return int(dct_phash_batch(luma[None])[0])
+
+
 class DecodeResizeStage:
     """Actor-pool stage: decode payloads and resize to a fixed
     (out_h, out_w), emitting resized rgb8 payloads.
@@ -148,23 +195,39 @@ class ImageFeatureStage:
 
 class PhashStage:
     """Actor-pool stage: decode each payload and (re)compute its 64-bit
-    average phash from pixels — the real image-dedup entry point (a
-    production pipeline derives phash from the decoded image, it does
-    not trust an input column). Output replaces the ``phash`` column;
-    all other columns pass through."""
+    phash from pixels — the real image-dedup entry point (a production
+    pipeline derives phash from the decoded image, it does not trust
+    an input column). ``kind="average"`` is the 8×8 mean hash;
+    ``kind="dct"`` is the DCT perceptual hash (per-image decode+resize,
+    then ONE batched 2-D DCT over the whole batch). Output replaces
+    the ``phash`` column; all other columns pass through."""
 
-    def __init__(self, on_error: str = "raise"):
+    def __init__(self, on_error: str = "raise", kind: str = "average",
+                 size: int = 32):
+        assert kind in ("average", "dct")
         self.on_error = on_error
+        self.kind = kind
+        self.size = size
+        if kind == "dct":
+            dct_basis(size)  # build once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bufs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_pylist()
-        ph = np.empty(len(bufs), dtype=np.int64)
-        for i, (buf, w, h, fmt) in enumerate(zip(bufs, ws, hs, fmts)):
-            img = decode_payload(buf, int(w), int(h), fmt)
-            ph[i] = average_phash(img)
+        if self.kind == "dct":
+            lumas = np.empty((len(bufs), self.size, self.size))
+            for i, (buf, w, h, fmt) in enumerate(zip(bufs, ws, hs, fmts)):
+                img = decode_payload(buf, int(w), int(h), fmt)
+                lumas[i] = resize_bilinear(img, self.size, self.size) \
+                    .astype(np.float64) @ _LUMA
+            ph = dct_phash_batch(lumas)
+        else:
+            ph = np.empty(len(bufs), dtype=np.int64)
+            for i, (buf, w, h, fmt) in enumerate(zip(bufs, ws, hs, fmts)):
+                img = decode_payload(buf, int(w), int(h), fmt)
+                ph[i] = average_phash(img)
         idx = batch.schema.get_field_index("phash")
         if idx >= 0:
             return batch.set_column(idx, "phash", pa.array(ph))

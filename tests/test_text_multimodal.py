@@ -291,3 +291,88 @@ class TestCorpusIO:
         if not lance_available():  # sandbox: lance absent -> clear error
             with pytest.raises(ImportError):
                 read_corpus_table("/data/corpus.lance")
+
+
+class TestDctPhash:
+    def test_basis_orthonormal_and_naive_dct(self):
+        """dct_basis is the published orthonormal DCT-II: B@B.T = I and
+        B@X@B.T equals the explicit double-sum definition."""
+        import numpy as np
+
+        from bloom_filters_ray.stages.multimodal import dct_basis
+
+        n = 8
+        D = dct_basis(n)
+        assert np.allclose(D @ D.T, np.eye(n), atol=1e-12)
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(n, n))
+        got = D @ X @ D.T
+        want = np.zeros((n, n))
+        for u in range(n):
+            for v in range(n):
+                su = np.sqrt(1 / n) if u == 0 else np.sqrt(2 / n)
+                sv = np.sqrt(1 / n) if v == 0 else np.sqrt(2 / n)
+                for i in range(n):
+                    for j in range(n):
+                        want[u, v] += (X[i, j]
+                                       * np.cos((2 * i + 1) * u * np.pi / (2 * n))
+                                       * np.cos((2 * j + 1) * v * np.pi / (2 * n)))
+                want[u, v] *= su * sv
+        assert np.allclose(got, want, atol=1e-10)
+
+    def test_brightness_scale_invariance_and_batch_scalar(self):
+        import numpy as np
+
+        from bloom_filters_ray.stages.multimodal import (dct_phash,
+                                                         dct_phash_batch)
+
+        rng = np.random.default_rng(11)
+        L = rng.uniform(0, 255, size=(32, 32))
+        codes = dct_phash_batch(np.stack([L, 0.37 * L, 2.5 * L]))
+        assert codes[0] == codes[1] == codes[2]
+        img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        one = dct_phash(img)
+        assert isinstance(one, int) and -(1 << 63) <= one < (1 << 63)
+        # determinism
+        assert one == dct_phash(img.copy())
+
+    def test_near_dup_small_hamming_unrelated_large(self, ray_session):
+        """Noise variants of the same image land within a small Hamming
+        distance of each other; unrelated images sit near 32."""
+        import numpy as np
+
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+        from bloom_filters_ray.stages.multimodal import PhashStage
+
+        df = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(60).map_batches(PhashStage(kind="dct"), batch_size=16,
+                                   batch_format="pyarrow").to_pandas()
+        df["doc"] = df.image_id.str.slice(4, 12)
+        df["v"] = df.image_id.str.slice(13).astype(int)
+
+        def ham(a, b):
+            return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+        by_doc = df.pivot(index="doc", columns="v", values="phash")
+        near = [ham(r[0], r[1]) for _, r in by_doc.iterrows()]
+        assert np.mean(near) <= 8 and max(near) <= 16, near
+        docs = by_doc.index.tolist()
+        far = [ham(by_doc.loc[docs[i], 0], by_doc.loc[docs[i + 1], 0])
+               for i in range(len(docs) - 1)]
+        assert min(far) >= 16, far
+
+    def test_stage_matches_scalar(self, ray_session):
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+        from bloom_filters_ray.stages.multimodal import (PhashStage,
+                                                         decode_payload,
+                                                         dct_phash)
+
+        src = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(20).to_pandas()
+        out = corpus_dataset("/root/testdata/sf0.001", with_bytes=True) \
+            .limit(20).map_batches(PhashStage(kind="dct"), batch_size=8,
+                                   batch_format="pyarrow").to_pandas() \
+            .set_index("image_id").phash
+        for _, r in src.iterrows():
+            img = decode_payload(r["bytes"], int(r.w), int(r.h), r.fmt)
+            assert out.loc[r.image_id] == dct_phash(img)
