@@ -328,6 +328,25 @@ ORACLES: dict[str, str] = {
                          AND contains(b.caption, a.caption)) AS contained
         FROM uniq a
     """,
+    "jaccard_dup_pairs": """
+        WITH docs AS (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text)), ' +') AS w
+                      FROM documents),
+        toks AS (SELECT DISTINCT doc_id,
+                        w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS tok
+                 FROM docs, unnest(range(1, len(w) - 1)) AS s(g)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        cold AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1024),
+        co AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+               FROM toks a JOIN toks b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id
+               WHERE a.tok IN (SELECT tok FROM cold)
+               GROUP BY 1, 2)
+        SELECT co.a, co.b, i AS inter, na.n + nb.n - i AS uni
+        FROM co JOIN sizes na ON na.doc_id = co.a
+                JOIN sizes nb ON nb.doc_id = co.b
+        WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
     "emb_dup_pairs": f"""
         WITH {EMB_ZEROED_SQL}
         SELECT a.emb_id AS a, b.emb_id AS b
@@ -750,6 +769,20 @@ def q_ann_ivf(sf_dir: str):
                     n_centroids=32, nprobe=8)
 
 
+def q_jaccard_dup_pairs(sf_dir: str):
+    """Exact set-similarity join over the documents table: all doc
+    pairs whose distinct 3-word-shingle sets have Jaccard ≥ 0.8,
+    via the inverted-index double shuffle (stages/setsim.py) — the
+    hard-verification counterpart the MinHash/LSH pipeline
+    approximates. Integer cross-multiplied threshold; hot shingles
+    (df > 1024, none at test scale) excluded per the documented skew
+    guard, mirrored exactly by the SQL twin."""
+    from ..stages.setsim import jaccard_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return jaccard_pairs(ds, tau_num=4, tau_den=5, k=3, max_df=1024)
+
+
 def q_emb_dup_pairs(sf_dir: str):
     """Exact cosine-threshold duplicate pairs over the SQL-reproducible
     zeroed-coordinate variant corpus (one planted near-dup per vector
@@ -824,6 +857,7 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "emb_dup_pairs": q_emb_dup_pairs,
     "embedding_neardup": q_embedding_neardup,
     "image_neardup": q_image_neardup,

@@ -222,3 +222,42 @@ class TestSigMatrixBinary:
         t = pa.table({"sig": pa.array([b"12345678", b"1234567812345678"])})
         with pytest.raises(ValueError):
             sig_matrix(t, "sig")
+
+
+class TestJaccardPairs:
+    def _ds(self, texts, ray_session=None):
+        import ray.data
+
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        return ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+    TEXTS = ["a b c d e", "a b c d e", "a b c d x", "p q r s t"]
+
+    def test_exact_jaccard_pairs(self, ray_session):
+        from bloom_filters_ray.stages.setsim import jaccard_pairs
+
+        # shingle sets: d0=d1={abc,bcd,cde}, d2={abc,bcd,cdx}, d3 disjoint
+        got = jaccard_pairs(self._ds(self.TEXTS), tau_num=1, tau_den=2,
+                            num_partitions=4).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        want = {(0, 1): (3, 3), (0, 2): (2, 4), (1, 2): (2, 4)}
+        assert len(got) == 3
+        for _, r in got.iterrows():
+            assert want[(r.a, r.b)] == (r.inter, r.uni)
+        strict = jaccard_pairs(self._ds(self.TEXTS), tau_num=4, tau_den=5,
+                               num_partitions=4).to_pandas()
+        assert [(r.a, r.b) for _, r in strict.iterrows()] == [(0, 1)]
+
+    def test_max_df_skew_guard(self, ray_session):
+        """df > max_df shingles drop out of intersections while sizes
+        stay full: with max_df=2, {abc,bcd} (df=3) stop counting, so
+        (0,1) keeps only cde -> inter=1, uni=5."""
+        from bloom_filters_ray.stages.setsim import jaccard_pairs
+
+        got = jaccard_pairs(self._ds(self.TEXTS), tau_num=1, tau_den=5,
+                            max_df=2, num_partitions=4).to_pandas()
+        rows = {(r.a, r.b): (r.inter, r.uni) for _, r in got.iterrows()}
+        assert rows == {(0, 1): (1, 5)}
