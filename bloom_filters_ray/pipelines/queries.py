@@ -287,6 +287,27 @@ ORACLES: dict[str, str] = {
                    AS sum_cents
         FROM events GROUP BY 1, 2
     """,
+    "user_sessions": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1
+                       AS session_idx
+            FROM e
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM s GROUP BY 1, 2
+    """,
     "xor_members": f"""
         WITH {CORPUS_SQL}
         SELECT min(image_id) AS image_id, TRUE AS present
@@ -553,6 +574,23 @@ def q_events_window(sf_dir: str):
     ds = ds.map_batches(fn, batch_format="pyarrow")
     out = ds.groupby(["window_start", "event_type"])         .aggregate(Count(), Sum("cents"))
     return out.rename_columns({"count()": "cnt", "sum(cents)": "sum_cents"})
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization of the events stream (6-hour
+    inactivity gap): keyed repartition on user_id, whole-block
+    vectorized gap-split (stages/windows.py) — one row per session
+    with event count and start/end timestamps. Integer-microsecond
+    gap predicate; the SQL twin's lag+interval formulation is
+    bit-equal."""
+    import ray.data
+
+    from ..stages.windows import sessionize
+
+    ensure_hash_shuffle()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, gap_us=6 * 3600 * 1_000_000)
 
 
 def q_xor_members(sf_dir: str):
@@ -849,6 +887,7 @@ QUERIES = {
     "image_simhash": q_image_simhash,
     "image_dctphash": q_image_dctphash,
     "events_window": q_events_window,
+    "user_sessions": q_user_sessions,
     "xor_members": q_xor_members,
     "cuckoo_members": q_cuckoo_members,
     "ngram_jaccard": q_ngram_jaccard,

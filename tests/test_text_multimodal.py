@@ -376,3 +376,48 @@ class TestDctPhash:
         for _, r in src.iterrows():
             img = decode_payload(r["bytes"], int(r.w), int(r.h), r.fmt)
             assert out.loc[r.image_id] == dct_phash(img)
+
+
+class TestSessionize:
+    def test_gap_splits_ties_and_boundaries(self, ray_session):
+        """Gap predicate is strict (> gap); equal-ts ties order by
+        event_id; sessions index per user in time order."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from bloom_filters_ray.stages.windows import sessionize
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        t0 = dt.datetime(2024, 1, 1)
+        us = lambda s: t0 + dt.timedelta(seconds=s)
+        GAP = 10 * 1_000_000  # 10 s
+        rows = [
+            # user 1: gap exactly 10s -> SAME session; 10.000001s -> new
+            (1, us(0), 0), (1, us(10), 1), (1, us(20.000001), 2),
+            # user 2: tie timestamps, then a big jump
+            (2, us(0), 4), (2, us(0), 3), (2, us(100), 5),
+            # user 3: single event
+            (3, us(7), 6),
+        ]
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
+        got = sessionize(ray.data.from_arrow(tbl), gap_us=GAP,
+                         num_partitions=4).to_pandas() \
+            .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+        rec = [(r.user_id, r.session_idx, r.n_events,
+                r.start_ts.to_pydatetime(), r.end_ts.to_pydatetime())
+               for _, r in got.iterrows()]
+        assert rec == [
+            (1, 0, 2, us(0), us(10)),
+            (1, 1, 1, us(20.000001), us(20.000001)),
+            (2, 0, 2, us(0), us(0)),
+            (2, 1, 1, us(100), us(100)),
+            (3, 0, 1, us(7), us(7)),
+        ]
