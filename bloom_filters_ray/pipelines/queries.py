@@ -119,6 +119,30 @@ def _stop_in(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
 
 
+# shared CTE body for the exact set-similarity queries: `jpairs` is
+# (a, b, inter, uni) with 3-word-shingle Jaccard >= 4/5 (the SQL twin
+# of stages/setsim.py: jaccard_pairs at tau=0.8, max_df=1024)
+JACCARD_PAIRS_CTE = """docs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), ' +') AS w
+            FROM documents),
+        toks AS (SELECT DISTINCT doc_id,
+                        w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS tok
+                 FROM docs, unnest(range(1, len(w) - 1)) AS s(g)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        cold AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1024),
+        co AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+               FROM toks a JOIN toks b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id
+               WHERE a.tok IN (SELECT tok FROM cold)
+               GROUP BY 1, 2),
+        jpairs AS (
+            SELECT co.a, co.b, i AS inter, na.n + nb.n - i AS uni
+            FROM co JOIN sizes na ON na.doc_id = co.a
+                    JOIN sizes nb ON nb.doc_id = co.b
+            WHERE 5 * i >= 4 * (na.n + nb.n - i))"""
+
+
 ORACLES: dict[str, str] = {
     "corpus": f"WITH {CORPUS_SQL} SELECT * FROM corpus",
     "exact_dedup": f"""
@@ -349,24 +373,21 @@ ORACLES: dict[str, str] = {
                          AND contains(b.caption, a.caption)) AS contained
         FROM uniq a
     """,
-    "jaccard_dup_pairs": """
-        WITH docs AS (SELECT doc_id,
-                             regexp_split_to_array(lower(trim(text)), ' +') AS w
-                      FROM documents),
-        toks AS (SELECT DISTINCT doc_id,
-                        w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS tok
-                 FROM docs, unnest(range(1, len(w) - 1)) AS s(g)),
-        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-        cold AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1024),
-        co AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-               FROM toks a JOIN toks b
-                    ON a.tok = b.tok AND a.doc_id < b.doc_id
-               WHERE a.tok IN (SELECT tok FROM cold)
-               GROUP BY 1, 2)
-        SELECT co.a, co.b, i AS inter, na.n + nb.n - i AS uni
-        FROM co JOIN sizes na ON na.doc_id = co.a
-                JOIN sizes nb ON nb.doc_id = co.b
-        WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    "jaccard_dup_pairs": f"""
+        WITH {JACCARD_PAIRS_CTE}
+        SELECT a, b, inter, uni FROM jpairs
+    """,
+    "jaccard_dup_clusters": f"""
+        WITH RECURSIVE {JACCARD_PAIRS_CTE},
+        edges AS (SELECT a, b FROM jpairs
+                  UNION ALL SELECT b AS a, a AS b FROM jpairs),
+        reach(n, m) AS (
+            SELECT a AS n, b AS m FROM edges
+            UNION
+            SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+        )
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+        FROM reach GROUP BY n
     """,
     "emb_dup_pairs": f"""
         WITH {EMB_ZEROED_SQL}
@@ -821,6 +842,24 @@ def q_jaccard_dup_pairs(sf_dir: str):
     return jaccard_pairs(ds, tau_num=4, tau_den=5, k=3, max_df=1024)
 
 
+def q_jaccard_dup_clusters(sf_dir: str):
+    """Connected components over the exact-Jaccard duplicate graph —
+    the CLUSTERING operator itself under the hard oracle gate: exact
+    set-similarity edges (q_jaccard_dup_pairs) → distributed
+    large/small-star contraction (stages/cc.py) → (doc_id,
+    cluster_id = min id of the component). The SQL twin labels the
+    same components via a recursive transitive-closure CTE."""
+    from ..stages.cc import connected_components_distributed
+    from ..stages.setsim import jaccard_pairs
+    from ..util import cluster_cpus
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    edges = jaccard_pairs(ds, tau_num=4, tau_den=5, k=3, max_df=1024) \
+        .select_columns(["a", "b"])
+    labels = connected_components_distributed(edges, max(8, cluster_cpus()))
+    return labels.rename_columns({"image_id": "doc_id"})
+
+
 def q_emb_dup_pairs(sf_dir: str):
     """Exact cosine-threshold duplicate pairs over the SQL-reproducible
     zeroed-coordinate variant corpus (one planted near-dup per vector
@@ -897,6 +936,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
+    "jaccard_dup_clusters": q_jaccard_dup_clusters,
     "emb_dup_pairs": q_emb_dup_pairs,
     "embedding_neardup": q_embedding_neardup,
     "image_neardup": q_image_neardup,
