@@ -125,10 +125,17 @@ def _stop_in(lang: str) -> str:
 JACCARD_PAIRS_CTE = """docs AS (
             SELECT doc_id,
                    regexp_split_to_array(lower(trim(text)), ' +') AS w
-            FROM documents),
-        toks AS (SELECT DISTINCT doc_id,
+            FROM documents WHERE trim(text) <> ''),
+        toks AS (SELECT DISTINCT doc_id, tok FROM (
+                 SELECT doc_id,
                         w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS tok
-                 FROM docs, unnest(range(1, len(w) - 1)) AS s(g)),
+                 FROM docs, unnest(range(1, len(w) - 1)) AS s(g)
+                 UNION ALL
+                 -- rows with 1..k-1 tokens yield ONE zero-padded
+                 -- shingle in the engine (stages/shingle.py); the
+                 -- joined-token string is its collision-free twin
+                 SELECT doc_id, array_to_string(w, ' ') AS tok
+                 FROM docs WHERE len(w) < 3)),
         sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         cold AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1024),
         co AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i

@@ -261,3 +261,33 @@ class TestJaccardPairs:
                             max_df=2, num_partitions=4).to_pandas()
         rows = {(r.a, r.b): (r.inter, r.uni) for _, r in got.iterrows()}
         assert rows == {(0, 1): (1, 5)}
+
+    def test_short_doc_sql_parity(self, ray_session):
+        """Docs with <k tokens yield one zero-padded shingle
+        (stages/shingle.py); the SQL twin must reproduce pairs over a
+        fixture that exercises 1-, 2- and 3-token docs and an empty
+        doc."""
+        import duckdb
+        import pyarrow as pa
+
+        from bloom_filters_ray.pipelines.queries import JACCARD_PAIRS_CTE
+        from bloom_filters_ray.stages.setsim import jaccard_pairs
+
+        texts = ["alpha", "alpha", "alpha beta", "alpha beta",
+                 "alpha beta gamma", "alpha beta gamma", "", "   "]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts)})
+        got = jaccard_pairs(self._ds(texts), tau_num=4, tau_den=5,
+                            num_partitions=4).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = con.execute(
+            f"WITH {JACCARD_PAIRS_CTE} SELECT a, b, inter, uni "
+            f"FROM jpairs ORDER BY a, b").df()
+        assert got.astype("int64").values.tolist() == \
+            want.astype("int64").values.tolist()
+        # sanity: the three identical-text pairs, nothing across kinds
+        assert [(r.a, r.b) for _, r in got.iterrows()] == \
+            [(0, 1), (2, 3), (4, 5)]

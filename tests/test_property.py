@@ -90,3 +90,85 @@ class TestSuffixArrayProperty:
         sa = suffix_array(s)
         want = sorted(range(len(s)), key=lambda i: tuple(s[i:]))
         assert list(sa) == want
+
+
+class TestSetSimProperty:
+    @given(st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=0,
+                              max_size=12), min_size=1, max_size=12),
+           st.integers(min_value=1, max_value=5))
+    @SETTINGS
+    def test_block_pipeline_equals_set_math(self, docs, tau_num):
+        """token rows → pair emit → reduce over ONE block must equal
+        brute-force Jaccard over python sets (k=2 shingles)."""
+        from bloom_filters_ray.stages.setsim import (
+            make_cooccur_pair_emitter, make_jaccard_reducer,
+            make_shingle_token_rows)
+
+        texts = [" ".join(d) for d in docs]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts)})
+        toks = make_shingle_token_rows(k=2)(tbl)
+        pairs = make_cooccur_pair_emitter(max_df=10_000)(toks)
+        got = make_jaccard_reducer(tau_num, 5)(pairs)
+        got_set = {(r["a"], r["b"]): (r["inter"], r["uni"])
+                   for r in got.to_pylist()}
+
+        def shingles(d):
+            # shingle_hashes emits ONE zero-padded shingle for rows
+            # with 1..k-1 tokens (stages/shingle.py docstring)
+            if 0 < len(d) < 2:
+                return {(d[0],)}
+            return {tuple(d[i:i + 2]) for i in range(len(d) - 1)}
+
+        want = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                si, sj = shingles(docs[i]), shingles(docs[j])
+                inter = len(si & sj)
+                uni = len(si | sj)
+                if inter and 5 * inter >= tau_num * uni:
+                    want[(i, j)] = (inter, uni)
+        assert got_set == want
+
+    @given(st.lists(st.tuples(st.integers(0, 3),        # user
+                              st.integers(0, 1000),     # ts (us)
+                              ), min_size=0, max_size=40),
+           st.integers(min_value=0, max_value=200))
+    @SETTINGS
+    def test_sessionizer_equals_python_reference(self, events, gap):
+        from bloom_filters_ray.stages.windows import make_block_sessionizer
+
+        tbl = pa.table({
+            "user_id": pa.array([u for u, _ in events], type=pa.int64()),
+            "ts": pa.array([t for _, t in events], type=pa.timestamp("us")),
+            "event_id": pa.array(range(len(events)), type=pa.int64()),
+        })
+        got = make_block_sessionizer(gap)(tbl).to_pylist()
+        got_set = {(r["user_id"], r["session_idx"]):
+                   (r["n_events"], r["start_ts"], r["end_ts"])
+                   for r in got}
+        # python reference
+        byu: dict = {}
+        for eid, (u, t) in enumerate(events):
+            byu.setdefault(u, []).append((t, eid))
+        want = {}
+        for u, evs in byu.items():
+            evs.sort()
+            sid, n, start = -1, 0, None
+            prev = None
+            for t, _ in evs:
+                if prev is None or t - prev > gap:
+                    if sid >= 0:
+                        want[(u, sid)] = (n, start, prev)
+                    sid += 1
+                    n, start = 0, t
+                n += 1
+                prev = t
+            want[(u, sid)] = (n, start, prev)
+        import datetime as dt
+        epoch = dt.datetime(1970, 1, 1)
+        want = {k: (n, epoch + dt.timedelta(microseconds=s),
+                    epoch + dt.timedelta(microseconds=e))
+                for k, (n, s, e) in want.items()}
+        assert got_set == want
