@@ -867,6 +867,30 @@ def q_jaccard_dup_clusters(sf_dir: str):
     return labels.rename_columns({"image_id": "doc_id"})
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization approximate cosine top-10 for the first 5
+    query vectors: per-subspace codebooks trained on a sample, corpus
+    encoded to 16 one-byte codes per row (the RAM-scale representation
+    for 10^12-row ANN), block-local ADC scans, driver merge
+    (stages/ann.py: pq_topk). Approximate by design (rows-only);
+    recall vs exact brute force is pinned in
+    tests/test_simhash_ann.py::TestPQ (0.84 at m=16/ks=256, rising
+    with code budget)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import embedding_matrix, pq_topk
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(8)
+    return pq_topk(ds, qt["vec_id"].to_numpy(), Q, k=10, m=16,
+                   n_codes=256)
+
+
 def q_emb_dup_pairs(sf_dir: str):
     """Exact cosine-threshold duplicate pairs over the SQL-reproducible
     zeroed-coordinate variant corpus (one planted near-dup per vector
@@ -942,6 +966,7 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "jaccard_dup_clusters": q_jaccard_dup_clusters,
     "emb_dup_pairs": q_emb_dup_pairs,

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import DEFAULT_SEED
-from .neardup import _cached_broadcast
+from .neardup import _cached_broadcast, sig_matrix
 
 
 def embedding_matrix(col, dim: int | None = None) -> np.ndarray:
@@ -320,6 +320,165 @@ def make_ivf_probe_fn(centroid_ref, query_ref, k: int, nprobe: int,
             names=["query_id", "neighbor_id", "sim"])
 
     return fn
+
+
+def train_pq_codebooks(ds, m: int = 8, n_codes: int = 256,
+                       dim: int | None = None,
+                       emb_col: str = "embedding",
+                       sample_rows: int = 65536, iters: int = 10,
+                       seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    sample's L2-normalized rows are split into *m* contiguous
+    subspaces and Lloyd k-means runs per subspace on the driver —
+    training touches ≤ sample_rows rows, never the corpus. Returns a
+    (m, n_codes, d/m) float64 codebook tensor."""
+    sample = ds.limit(sample_rows)
+    tbl = pa.concat_tables(list(sample.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")))
+    X = normalize_rows(embedding_matrix(tbl[emb_col], dim))
+    n, d = X.shape
+    assert d % m == 0, (d, m)
+    sub = d // m
+    ks = min(n_codes, n)
+    rng = np.random.default_rng(seed & ((1 << 63) - 1))
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                mem = Xj[assign == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j, :ks] = C
+        if ks < n_codes:  # tiny sample: pad with the first centroid
+            books[j, ks:] = C[0]
+    return books
+
+
+def make_pq_encode_fn(book_ref, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      dim: int | None = None):
+    """map_batches fn: (id, embedding) → (id, pq_code binary[m]) —
+    one byte per subspace (nearest codebook entry by L2), 8 bytes/row
+    at m=8 instead of 8·d — the representation that lets a 10^12-row
+    corpus sit in RAM-scale storage for ANN scans."""
+    from .sketch_aggs import _plain_fetch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        B = _plain_fetch(book_ref)  # (m, ks, sub)
+        m, ks, sub = B.shape
+        E = normalize_rows(embedding_matrix(batch[emb_col], dim))
+        n = len(E)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            Xj = E[:, j * sub : (j + 1) * sub]
+            d2 = (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * (Xj @ B[j].T)
+            codes[:, j] = np.argmin(d2, axis=1)
+        data = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+        offsets = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * m).tobytes())
+        arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays([ids, arr], names=[id_col, "pq_code"])
+
+    return fn
+
+
+def make_pq_adc_topk_fn(book_ref, query_ref, k: int,
+                        id_col: str = "vec_id",
+                        exclude_self: bool = True):
+    """Whole-block ADC (asymmetric distance computation) scan over PQ
+    codes: per block, ONE (q, m, ks) inner-product table against the
+    codebooks, then the approximate similarity of every row is m
+    byte-indexed gathers — no per-dimension float math against the
+    corpus. Emits block-local top-k partials like the brute-force
+    scanner."""
+    from .sketch_aggs import _plain_fetch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        B = _plain_fetch(book_ref)          # (m, ks, sub)
+        q_ids, Q = _plain_fetch(query_ref)  # Q normalized (q, d)
+        q_id_arr = np.asarray(q_ids, dtype=np.int64)
+        m, ks, sub = B.shape
+        codes = sig_matrix(batch, "pq_code", dtype="u1")  # (n, m)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        nq = len(q_id_arr)
+        if n == 0 or nq == 0:
+            e = pa.array([], type=pa.int64())
+            return pa.Table.from_arrays(
+                [e, e, pa.array([], type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"])
+        sims = np.zeros((nq, n), dtype=np.float64)
+        for j in range(m):
+            T = Q[:, j * sub : (j + 1) * sub] @ B[j].T  # (q, ks)
+            sims += T[:, codes[:, j]]
+        if exclude_self:
+            sims[q_id_arr[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (q, kk)
+        out_q = np.repeat(q_id_arr, kk)
+        out_n = ids[part.ravel()]
+        out_s = np.take_along_axis(sims, part, axis=1).ravel()
+        keep = np.isfinite(out_s)
+        return pa.Table.from_arrays(
+            [pa.array(out_q[keep]), pa.array(out_n[keep]),
+             pa.array(out_s[keep])],
+            names=["query_id", "neighbor_id", "sim"])
+
+    return fn
+
+
+def pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
+            m: int = 8, n_codes: int = 256,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            exclude_self: bool = True,
+            seed: int = DEFAULT_SEED) -> pa.Table:
+    """PQ-compressed approximate cosine top-k: train per-subspace
+    codebooks on a sample, encode the corpus to m-byte codes
+    (streaming map), ADC-scan the codes per block, merge tiny
+    partials on the driver. Approximate by construction; recall vs
+    the exact brute force is pinned in tests. Returns (query_id,
+    neighbor_id, rank) with the same deterministic tie-break as
+    ``brute_force_topk``."""
+    import ray
+
+    books = train_pq_codebooks(ds, m=m, n_codes=n_codes,
+                               emb_col=emb_col, seed=seed)
+    book_ref = ray.put(books)
+    codes = ds.map_batches(
+        make_pq_encode_fn(book_ref, id_col, emb_col),
+        batch_format="pyarrow")
+    query_ref = ray.put((list(np.asarray(query_ids, dtype=np.int64)),
+                         normalize_rows(np.asarray(Q, dtype=np.float64))))
+    partials = codes.map_batches(
+        make_pq_adc_topk_fn(book_ref, query_ref, k, id_col,
+                            exclude_self),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables([b for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")])
+    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    si = tbl["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ni, -si, qi))
+    qi, ni, si = qi[order], ni[order], si[order]
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(qi)), 0))
+    rank = np.arange(len(qi)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qi[keep]),
+        "neighbor_id": pa.array(ni[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
 
 
 def ivf_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,

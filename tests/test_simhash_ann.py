@@ -394,3 +394,64 @@ class TestExactCosinePairs:
         n_vec = len(tbl)
         planted = sum((2 * v, 2 * v + 1) in pairs for v in range(n_vec))
         assert planted >= 0.95 * n_vec
+
+
+class TestPQ:
+    def test_pq_recall_curve_and_determinism(self, ray_session):
+        """PQ-ADC recall@10 vs exact brute force on the (worst-case,
+        unclustered) synthetic embeddings: rises with code budget;
+        deterministic for a fixed seed. Measured 0.66 (m=8, ks=256)
+        and 0.84 (m=16) at sf0.001."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (brute_force_topk,
+                                                  embedding_matrix,
+                                                  pq_topk)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        sf = "/root/testdata/sf0.001"
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           filters=[("vec_id", "<", 5)])
+        Q = embedding_matrix(qt["embedding"])
+        qi = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet") \
+            .repartition(8)
+        exact = brute_force_topk(ds, qi, Q, k=10).to_pandas()
+
+        def recall(got):
+            return float(np.mean(
+                [len(set(exact[exact.query_id == q].neighbor_id)
+                     & set(got[got.query_id == q].neighbor_id)) / 10
+                 for q in qi]))
+
+        r8 = recall(pq_topk(ds, qi, Q, k=10, m=8, n_codes=256).to_pandas())
+        r16_df = pq_topk(ds, qi, Q, k=10, m=16, n_codes=256).to_pandas()
+        r16 = recall(r16_df)
+        assert r8 >= 0.55, r8
+        assert r16 >= 0.75, r16
+        assert r16 > r8
+        again = pq_topk(ds, qi, Q, k=10, m=16, n_codes=256).to_pandas()
+        assert r16_df.equals(again)
+
+    def test_codes_are_m_bytes(self, ray_session):
+        import ray
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (make_pq_encode_fn,
+                                                  train_pq_codebooks)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq_codebooks(ds, m=8, n_codes=16)
+        assert books.shape == (8, 16, 8)
+        ref = ray.put(books)
+        out = ds.map_batches(make_pq_encode_fn(ref),
+                             batch_format="pyarrow").take_batch(
+            50, batch_format="pyarrow")
+        assert out.schema.field("pq_code").type == "binary"
+        assert all(len(v) == 8 for v in out["pq_code"].to_pylist())
