@@ -891,6 +891,29 @@ def q_ann_pq(sf_dir: str):
                    n_codes=256)
 
 
+def q_ann_ivf_pq(sf_dir: str):
+    """IVFADC approximate cosine top-10 (Jégou et al. 2011): coarse
+    centroids + residual-PQ codebooks trained on a sample, corpus
+    encoded to (list_id, 16 bytes), inverted-list repartition, nprobe
+    ADC scans with list-independent q·codebook tables (stages/ann.py:
+    ivf_pq_topk). Approximate (rows-only); recall rises with nprobe
+    and reaches flat-PQ at full probe (tests pin 0.84@full on the
+    worst-case unclustered embeddings)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import embedding_matrix, ivf_pq_topk
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(8)
+    return ivf_pq_topk(ds, qt["vec_id"].to_numpy(), Q, k=10,
+                       n_centroids=64, nprobe=16, m=16, n_codes=256)
+
+
 def q_emb_dup_pairs(sf_dir: str):
     """Exact cosine-threshold duplicate pairs over the SQL-reproducible
     zeroed-coordinate variant corpus (one planted near-dup per vector
@@ -967,6 +990,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "jaccard_dup_clusters": q_jaccard_dup_clusters,
     "emb_dup_pairs": q_emb_dup_pairs,

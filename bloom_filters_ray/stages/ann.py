@@ -481,6 +481,217 @@ def pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
     })
 
 
+def _lloyd(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain L2 Lloyd k-means on the driver (training samples only)."""
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(C)):
+            mem = X[assign == c]
+            if len(mem):
+                C[c] = mem.mean(axis=0)
+    return C
+
+
+def train_ivf_pq(ds, n_centroids: int = 64, m: int = 8,
+                 n_codes: int = 256, dim: int | None = None,
+                 emb_col: str = "embedding", sample_rows: int = 65536,
+                 iters: int = 10, seed: int = DEFAULT_SEED):
+    """IVFADC training (Jégou et al., TPAMI 2011): coarse centroids on
+    a normalized sample, then per-subspace PQ codebooks on the
+    RESIDUALS x − c(x) — the residual energy is what the fine
+    quantizer must cover, which is why IVF-PQ beats flat PQ at equal
+    code budget. Driver-side over ≤ sample_rows rows. Returns
+    (centroids (K, d), codebooks (m, n_codes, d/m))."""
+    sample = ds.limit(sample_rows)
+    tbl = pa.concat_tables(list(sample.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")))
+    X = normalize_rows(embedding_matrix(tbl[emb_col], dim))
+    n, d = X.shape
+    assert d % m == 0, (d, m)
+    sub = d // m
+    rng = np.random.default_rng(seed & ((1 << 63) - 1))
+    C = normalize_rows(_lloyd(X, n_centroids, iters, rng))
+    R = X - C[np.argmax(X @ C.T, axis=1)]
+    ks = min(n_codes, n)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Cj = _lloyd(R[:, j * sub : (j + 1) * sub], ks, iters, rng)
+        books[j, :len(Cj)] = Cj
+        if len(Cj) < n_codes:
+            books[j, len(Cj):] = Cj[0]
+    return C, books
+
+
+def make_ivf_pq_encode_fn(centroid_ref, book_ref, id_col: str = "vec_id",
+                          emb_col: str = "embedding",
+                          dim: int | None = None):
+    """map_batches fn: (id, embedding) → (list_id, id, pq_code):
+    nearest coarse centroid, then the RESIDUAL encoded to m bytes."""
+    from .sketch_aggs import _plain_fetch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = _plain_fetch(centroid_ref)
+        B = _plain_fetch(book_ref)
+        m, ks, sub = B.shape
+        E = normalize_rows(embedding_matrix(batch[emb_col], dim))
+        lists = np.argmax(E @ C.T, axis=1)
+        R = E - C[lists]
+        n = len(E)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            Rj = R[:, j * sub : (j + 1) * sub]
+            d2 = (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * (Rj @ B[j].T)
+            codes[:, j] = np.argmin(d2, axis=1)
+        data = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+        offsets = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * m).tobytes())
+        arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.array(lists.astype(np.int64)), ids, arr],
+            names=["list_id", id_col, "pq_code"])
+
+    return fn
+
+
+def make_ivf_pq_probe_fn(centroid_ref, book_ref, query_ref, k: int,
+                         nprobe: int, id_col: str = "vec_id",
+                         exclude_self: bool = True):
+    """Whole-block fn over list_id-partitioned PQ codes: per query,
+    scan only its nprobe nearest lists; the approximate inner product
+    is q·c(list) + Σ_j T_j[code_j] with T_j = q·codebook_j — since
+    q·x = q·c + q·r̂, the tables are LIST-INDEPENDENT and built once
+    per block; per list only the q·c offset changes. Byte gathers
+    against the corpus, float math only against codebooks."""
+    from .sketch_aggs import _plain_fetch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = _plain_fetch(centroid_ref)
+        B = _plain_fetch(book_ref)
+        q_ids, Q = _plain_fetch(query_ref)
+        q_id_arr = np.asarray(q_ids, dtype=np.int64)
+        m, ks, sub = B.shape
+
+        def empty() -> pa.Table:
+            e = pa.array([], type=pa.int64())
+            return pa.Table.from_arrays(
+                [e, e, pa.array([], type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"])
+
+        n = batch.num_rows
+        if n == 0 or len(q_id_arr) == 0:
+            return empty()
+        codes = sig_matrix(batch, "pq_code", dtype="u1")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        qc = Q @ C.T  # (q, K)
+        probe = np.argsort(-qc, axis=1)[:, :nprobe]
+        order = np.argsort(lists, kind="stable")
+        ls, ids_s, codes_s = lists[order], ids[order], codes[order]
+        ulists, ustarts = np.unique(ls, return_index=True)
+        bounds = np.append(ustarts, n)
+        pos = np.minimum(np.searchsorted(ulists, probe), len(ulists) - 1)
+        hit = ulists[pos] == probe
+        pq_, _ = np.nonzero(hit)
+        pl = pos[hit]
+        if not len(pq_):
+            return empty()
+        g = np.argsort(pl, kind="stable")
+        pl_s, pq_s = pl[g], pq_[g]
+        gb = np.append(
+            np.searchsorted(pl_s, np.arange(len(ulists)), side="left"),
+            len(pl_s))
+        # list-independent ADC tables: T[j] = q · codebook_j, (q, ks)
+        T = [Q[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m)]
+        out_q, out_n, out_s = [], [], []
+        for li in range(len(ulists)):
+            qs = pq_s[gb[li] : gb[li + 1]]
+            if not len(qs):
+                continue
+            seg = slice(int(bounds[li]), int(bounds[li + 1]))
+            cid = int(ulists[li])
+            seg_codes = codes_s[seg]        # (ms, m)
+            sims = np.broadcast_to(qc[qs, cid][:, None],
+                                   (len(qs), seg_codes.shape[0])).copy()
+            for j in range(m):
+                sims += T[j][qs][:, seg_codes[:, j]]
+            qh, ms = sims.shape
+            out_q.append(np.repeat(q_id_arr[qs], ms))
+            out_n.append(np.tile(ids_s[seg], qh))
+            out_s.append(sims.ravel())
+        qf = np.concatenate(out_q)
+        nf = np.concatenate(out_n)
+        sf = np.concatenate(out_s)
+        if exclude_self:
+            keep = nf != qf
+            qf, nf, sf = qf[keep], nf[keep], sf[keep]
+        if not len(qf):
+            return empty()
+        o2 = np.lexsort((nf, -sf, qf))
+        qf, nf, sf = qf[o2], nf[o2], sf[o2]
+        first = np.ones(len(qf), dtype=bool)
+        first[1:] = qf[1:] != qf[:-1]
+        gstart = np.maximum.accumulate(
+            np.where(first, np.arange(len(qf)), 0))
+        rank = np.arange(len(qf)) - gstart
+        keep = rank < k
+        return pa.Table.from_arrays(
+            [pa.array(qf[keep]), pa.array(nf[keep]), pa.array(sf[keep])],
+            names=["query_id", "neighbor_id", "sim"])
+
+    return fn
+
+
+def ivf_pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
+                n_centroids: int = 64, nprobe: int = 8, m: int = 8,
+                n_codes: int = 256, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                num_partitions: int = 8, exclude_self: bool = True,
+                seed: int = DEFAULT_SEED) -> pa.Table:
+    """IVFADC end to end: residual-PQ training on a sample, streaming
+    encode to (list_id, id, m bytes), inverted-list repartition,
+    nprobe ADC scans per block, driver merge of tiny partials. The
+    trillion-row recipe: the corpus is touched once to encode, search
+    reads only m-byte codes from nprobe lists."""
+    import ray
+
+    C, books = train_ivf_pq(ds, n_centroids, m, n_codes,
+                            emb_col=emb_col, seed=seed)
+    cref, bref = ray.put(C), ray.put(books)
+    codes = ds.map_batches(
+        make_ivf_pq_encode_fn(cref, bref, id_col, emb_col),
+        batch_format="pyarrow")
+    codes = codes.repartition(num_partitions, keys=["list_id"])
+    query_ref = ray.put((list(np.asarray(query_ids, dtype=np.int64)),
+                         normalize_rows(np.asarray(Q, dtype=np.float64))))
+    partials = codes.map_batches(
+        make_ivf_pq_probe_fn(cref, bref, query_ref, k, nprobe, id_col,
+                             exclude_self),
+        batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables([b for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")])
+    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    si = tbl["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ni, -si, qi))
+    qi, ni, si = qi[order], ni[order], si[order]
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(qi)), 0))
+    rank = np.arange(len(qi)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qi[keep]),
+        "neighbor_id": pa.array(ni[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
+
+
 def ivf_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
              n_centroids: int = 64, nprobe: int = 8,
              id_col: str = "vec_id", emb_col: str = "embedding",

