@@ -76,7 +76,8 @@ def make_block_pair_fn(corpus_ref, threshold: float,
 
 
 def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
-                       emb_col: str = "embedding"):
+                       emb_col: str = "embedding",
+                       broadcast_limit: int = 2_000_000):
     """Exact cosine-threshold duplicate-pair extraction: blocked
     matmul of every dataset block against the broadcast normalized
     corpus matrix (``ray.put`` once, fetched once per worker). This is
@@ -87,12 +88,21 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
 
     *ds* should be materialized (it is consumed twice: the corpus
     collect and the pair scan). Returns a Dataset of (a, b) int64
-    pairs, each unordered pair exactly once."""
+    pairs, each unordered pair exactly once. Corpora beyond
+    *broadcast_limit* rows fail LOUDLY — use the LSH-banded
+    ``embedding_neardup`` pipeline there; silent driver OOM is worse
+    than a ValueError."""
     import ray
 
     tbl = pa.concat_tables(
         [b for b in ds.select_columns([id_col, emb_col])
          .iter_batches(batch_size=1 << 16, batch_format="pyarrow")])
+    if len(tbl) > broadcast_limit:
+        raise ValueError(
+            f"exact_cosine_pairs is the brute-force broadcast baseline: "
+            f"corpus has {len(tbl)} rows > broadcast_limit="
+            f"{broadcast_limit}; use pipelines.embdedup (LSH-banded) "
+            f"at this scale")
     ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     ref = ray.put((ids, normalize_rows(embedding_matrix(tbl[emb_col]))))
     return ds.map_batches(
