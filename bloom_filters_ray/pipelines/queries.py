@@ -318,6 +318,23 @@ ORACLES: dict[str, str] = {
                    AS sum_cents
         FROM events GROUP BY 1, 2
     """,
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "nation_revenue": """
+        SELECT n_name, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
     "user_sessions": """
         WITH e AS (
             SELECT user_id, ts, event_id,
@@ -602,6 +619,98 @@ def q_events_window(sf_dir: str):
     ds = ds.map_batches(fn, batch_format="pyarrow")
     out = ds.groupby(["window_start", "event_type"])         .aggregate(Count(), Sum("cents"))
     return out.rename_columns({"count()": "cnt", "sum(cents)": "sum_cents"})
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped wide aggregate over lineitem: per
+    (returnflag, linestatus) for rows shipped up to the cutoff —
+    count + integer-cents sums of quantity and extendedprice.
+    Column-pruned, predicate-pushdown read (only 5 of 11 columns and
+    the matching row groups leave storage); sums in int64 cents so
+    the distributed reduction is order-independent."""
+    import datetime as dt
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ensure_hash_shuffle()
+    cutoff = dt.datetime(1998, 9, 2)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["l_returnflag"], batch["l_linestatus"],
+             pa.array(np.floor(q * 100 + 0.5).astype(np.int64)),
+             pa.array(np.floor(p * 100 + 0.5).astype(np.int64))],
+            names=["l_returnflag", "l_linestatus", "qty_cents",
+                   "price_cents"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_shipdate"],
+        filter=pc.field("l_shipdate") <= pc.scalar(cutoff))
+    out = ds.map_batches(fn, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Count(), Sum("qty_cents"), Sum("price_cents"))
+    return out.rename_columns({"count()": "cnt",
+                               "sum(qty_cents)": "sum_qty_cents",
+                               "sum(price_cents)": "sum_price_cents"})
+
+
+def q_nation_revenue(sf_dir: str):
+    """Star-schema broadcast join: orders ⋈ customer ⋈ nation →
+    integer-cents revenue per nation name. The two dimension tables
+    ship once via ``ray.put`` (sorted-key numpy lookup inside the
+    map — the broadcast-join pattern for small sides), the fact table
+    streams; one small groupby shuffle at the end."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ensure_hash_shuffle()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order_ck = np.argsort(ck)
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    order_nk = np.argsort(nk)
+    side = (ck[order_ck],
+            cust["c_nationkey"].to_numpy().astype(np.int64)[order_ck],
+            nk[order_nk],
+            np.asarray(nat["n_name"].to_pylist(), dtype=object)[order_nk])
+    ref = ray.put(side)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..stages.sketch_aggs import _plain_fetch
+
+        cks, cnation, nks, nname = _plain_fetch(ref)
+        o_ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(cks, o_ck)
+        if not (cks[np.minimum(pos, len(cks) - 1)] == o_ck).all():
+            raise KeyError("orders.o_custkey missing from customer")
+        nkey = cnation[pos]
+        npos = np.searchsorted(nks, nkey)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(nname[npos], type=pa.string()),
+            "price_cents": pa.array(
+                np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(fn, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Count(), Sum("price_cents"))
+    return out.rename_columns({"count()": "n_orders",
+                               "sum(price_cents)": "revenue_cents"})
 
 
 def q_user_sessions(sf_dir: str):
@@ -981,6 +1090,8 @@ QUERIES = {
     "image_dctphash": q_image_dctphash,
     "events_window": q_events_window,
     "user_sessions": q_user_sessions,
+    "lineitem_agg": q_lineitem_agg,
+    "nation_revenue": q_nation_revenue,
     "xor_members": q_xor_members,
     "cuckoo_members": q_cuckoo_members,
     "ngram_jaccard": q_ngram_jaccard,
