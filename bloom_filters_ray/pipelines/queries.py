@@ -335,6 +335,13 @@ ORACLES: dict[str, str] = {
                     JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1
     """,
+    "urgent_customer_segments": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
     "user_sessions": """
         WITH e AS (
             SELECT user_id, ts, event_id,
@@ -711,6 +718,66 @@ def q_nation_revenue(sf_dir: str):
         .groupby("n_name").aggregate(Count(), Sum("price_cents"))
     return out.rename_columns({"count()": "n_orders",
                                "sum(price_cents)": "revenue_cents"})
+
+
+def q_urgent_customer_segments(sf_dir: str):
+    """Bloom-accelerated semi-join: customers with ≥1 URGENT order,
+    counted per market segment. The Bloom filter over the urgent
+    orders' custkeys (distributed OR-merge build, KBs of state) prunes
+    the probe side first — "not in filter" is a DEFINITE negative (no
+    false negatives), so only the ~1% false-positive residue plus the
+    true members reach the exact check (broadcast sorted distinct-key
+    array here; a hash join above the broadcast limit). This is the
+    classic sketch pushdown the engine's Bloom tier gives an analytics
+    plan for free."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..stages.sketch_aggs import _plain_fetch
+
+    ensure_hash_shuffle()
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == pc.scalar("1-URGENT"))
+
+    def keyfn(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(batch["o_custkey"], pa.string())})
+
+    keys = urgent.map_batches(keyfn, batch_format="pyarrow").materialize()
+    n = keys.count()
+    f = build_bloom(keys, on="k", capacity=max(n, 1), error_rate=0.01)
+    # exact side: distinct urgent custkeys (bounded by the customer
+    # table, the small side) — distributed distinct, tiny driver collect
+    distinct = keys.groupby("k").count()
+    dk = np.sort(np.array(
+        [int(v) for b in distinct.iter_batches(batch_size=1 << 16,
+                                               batch_format="pyarrow")
+         for v in b["k"].to_pylist()], dtype=np.int64))
+    side_ref = ray.put((f, dk))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        blm, exact = _plain_fetch(side_ref)
+        ck = batch["c_custkey"]
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        maybe = blm.has_many(pc.cast(ck, pa.string()))
+        ck_np = ck.to_numpy(zero_copy_only=False).astype(np.int64)
+        verified = np.zeros(len(ck_np), dtype=bool)
+        if maybe.any():  # exact check ONLY on the bloom-positive residue
+            cand = ck_np[maybe]
+            pos = np.minimum(np.searchsorted(exact, cand), len(exact) - 1)
+            ok = exact[pos] == cand if len(exact) else \
+                np.zeros(len(cand), dtype=bool)
+            verified[np.flatnonzero(maybe)[ok]] = True
+        return batch.filter(pa.array(verified))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    out = cust.map_batches(probe, batch_format="pyarrow") \
+        .groupby("c_mktsegment").count()
+    return out.rename_columns({"count()": "n_customers"})
 
 
 def q_user_sessions(sf_dir: str):
@@ -1092,6 +1159,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "lineitem_agg": q_lineitem_agg,
     "nation_revenue": q_nation_revenue,
+    "urgent_customer_segments": q_urgent_customer_segments,
     "xor_members": q_xor_members,
     "cuckoo_members": q_cuckoo_members,
     "ngram_jaccard": q_ngram_jaccard,
