@@ -335,6 +335,13 @@ ORACLES: dict[str, str] = {
                     JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1
     """,
+    "priority_revenue": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
     "urgent_customer_segments": """
         SELECT c_mktsegment, count(*) AS n_customers
         FROM customer
@@ -717,6 +724,42 @@ def q_nation_revenue(sf_dir: str):
     out = ds.map_batches(fn, batch_format="pyarrow") \
         .groupby("n_name").aggregate(Count(), Sum("price_cents"))
     return out.rename_columns({"count()": "n_orders",
+                               "sum(price_cents)": "revenue_cents"})
+
+
+def q_priority_revenue(sf_dir: str):
+    """Fact-to-fact distributed hash join: lineitem ⋈ orders on
+    orderkey (both sides big — no broadcast), then integer-cents
+    revenue per order priority. Column-pruned reads; the join and the
+    final groupby are separate executions (two concurrent hash-shuffle
+    operators in one lineage serialize — see CLAUDE.md)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import cluster_cpus
+
+    ensure_hash_shuffle()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "price_cents": pa.array(
+                np.floor(p * 100 + 0.5).astype(np.int64)),
+        })
+
+    li = li.map_batches(cents, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", max(8, cluster_cpus()),
+                     on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .materialize()
+    out = joined.groupby("o_orderpriority") \
+        .aggregate(Count(), Sum("price_cents"))
+    return out.rename_columns({"count()": "n_items",
                                "sum(price_cents)": "revenue_cents"})
 
 
@@ -1159,6 +1202,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "lineitem_agg": q_lineitem_agg,
     "nation_revenue": q_nation_revenue,
+    "priority_revenue": q_priority_revenue,
     "urgent_customer_segments": q_urgent_customer_segments,
     "xor_members": q_xor_members,
     "cuckoo_members": q_cuckoo_members,
