@@ -1133,6 +1133,30 @@ def q_ann_ivf_pq(sf_dir: str):
                        n_centroids=64, nprobe=16, m=16, n_codes=256)
 
 
+def q_ann_pq_rerank(sf_dir: str):
+    """Two-stage retrieval: PQ-ADC shortlist (k'=100 candidates/query)
+    then a second streaming pass computing EXACT cosine for the
+    shortlisted pairs only — true vectors never leave their blocks
+    (stages/ann.py: pq_topk_reranked). Rows-only: the result equals
+    brute force whenever shortlist recall@k' covers the true top-k
+    (it does at sf0.001, pinned in tests; a handful of rank-6..10
+    neighbors differ at sf0.1), and rerank recall ≥ raw ADC recall
+    always."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import embedding_matrix, pq_topk_reranked
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(8)
+    return pq_topk_reranked(ds, qt["vec_id"].to_numpy(), Q, k=10,
+                            k_candidates=100, m=8, n_codes=256)
+
+
 def q_emb_dup_pairs(sf_dir: str):
     """Exact cosine-threshold duplicate pairs over the SQL-reproducible
     zeroed-coordinate variant corpus (one planted near-dup per vector
@@ -1214,6 +1238,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "ann_pq_rerank": q_ann_pq_rerank,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "jaccard_dup_clusters": q_jaccard_dup_clusters,
     "emb_dup_pairs": q_emb_dup_pairs,

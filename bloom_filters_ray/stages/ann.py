@@ -702,6 +702,85 @@ def ivf_pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
     })
 
 
+def pq_topk_reranked(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
+                     k_candidates: int | None = None, m: int = 8,
+                     n_codes: int = 256, id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     exclude_self: bool = True,
+                     seed: int = DEFAULT_SEED) -> pa.Table:
+    """Two-stage retrieval (the production PQ pattern): a cheap ADC
+    pass shortlists ``k_candidates`` (default 5k) per query, then a
+    second streaming pass over the corpus computes EXACT cosine for
+    shortlisted (query, candidate) pairs only — the candidate set
+    (q × k' ids) broadcasts, true vectors never leave their blocks,
+    and the final top-k order is exact over the shortlist. Recall is
+    bounded by the ADC shortlist's recall@k_candidates (pinned in
+    tests); the rerank fixes every ordering error quantization
+    introduced within it."""
+    import ray
+
+    kc = k_candidates or 5 * k
+    cand = pq_topk(ds, query_ids, Q, kc, m=m, n_codes=n_codes,
+                   id_col=id_col, emb_col=emb_col,
+                   exclude_self=exclude_self, seed=seed)
+    q_id_arr = np.asarray(query_ids, dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(q_id_arr)}
+    c_n = cand["neighbor_id"].to_numpy()
+    c_q = np.array([qpos[int(q)] for q in cand["query_id"].to_numpy()],
+                   dtype=np.int64)
+    order = np.argsort(c_n, kind="stable")
+    Qn = normalize_rows(np.asarray(Q, dtype=np.float64))
+    ref = ray.put((c_n[order], c_q[order], q_id_arr, Qn))
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        from .sketch_aggs import _plain_fetch
+
+        nbr_s, qrow_s, qids, Qm = _plain_fetch(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lo = np.searchsorted(nbr_s, ids, side="left")
+        hi = np.searchsorted(nbr_s, ids, side="right")
+        cnt = hi - lo
+        hit_rows = np.flatnonzero(cnt)
+        if not len(hit_rows):
+            e = pa.array([], type=pa.int64())
+            return pa.Table.from_arrays(
+                [e, e, pa.array([], type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"])
+        E = normalize_rows(embedding_matrix(batch[emb_col]))
+        row_rep = np.repeat(hit_rows, cnt[hit_rows])
+        within = np.arange(len(row_rep)) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt[hit_rows])[:-1])),
+            cnt[hit_rows])
+        cand_idx = lo[row_rep] + within
+        qrows = qrow_s[cand_idx]
+        sims = np.einsum("ij,ij->i", E[row_rep], Qm[qrows])
+        return pa.Table.from_arrays(
+            [pa.array(qids[qrows]), pa.array(ids[row_rep]),
+             pa.array(sims)],
+            names=["query_id", "neighbor_id", "sim"])
+
+    partials = ds.map_batches(rerank, batch_format="pyarrow")
+    tbl = pa.concat_tables([b for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")])
+    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    si = tbl["sim"].to_numpy(zero_copy_only=False)
+    order2 = np.lexsort((ni, -si, qi))
+    qi, ni, si = qi[order2], ni[order2], si[order2]
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(qi)), 0))
+    rank = np.arange(len(qi)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qi[keep]),
+        "neighbor_id": pa.array(ni[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
+
+
 def ivf_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
              n_centroids: int = 64, nprobe: int = 8,
              id_col: str = "vec_id", emb_col: str = "embedding",

@@ -491,3 +491,43 @@ class TestPQ:
               for npb in (4, 64)}
         assert rs[64] >= 0.75, rs
         assert rs[64] >= rs[4]
+
+    def test_rerank_recovers_exact_at_small_scale(self, ray_session):
+        """Two-stage retrieval: ADC shortlist + exact rerank. At
+        sf0.001 the shortlist's recall@50 covers the true top-10, so
+        the reranked result is IDENTICAL to brute force (measured;
+        deterministic); in general rerank recall >= raw ADC recall."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (brute_force_topk,
+                                                  embedding_matrix,
+                                                  pq_topk,
+                                                  pq_topk_reranked)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        sf = "/root/testdata/sf0.001"
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           filters=[("vec_id", "<", 5)])
+        Q = embedding_matrix(qt["embedding"])
+        qi = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet") \
+            .repartition(8)
+        exact = brute_force_topk(ds, qi, Q, k=10).to_pandas() \
+            .reset_index(drop=True)
+        rr = pq_topk_reranked(ds, qi, Q, k=10, k_candidates=50, m=8,
+                              n_codes=256).to_pandas() \
+            .reset_index(drop=True)
+        assert exact.equals(rr)
+
+        def recall(got):
+            return float(np.mean(
+                [len(set(exact[exact.query_id == q].neighbor_id)
+                     & set(got[got.query_id == q].neighbor_id)) / 10
+                 for q in qi]))
+
+        adc = recall(pq_topk(ds, qi, Q, k=10, m=8,
+                             n_codes=256).to_pandas())
+        assert recall(rr) >= adc
