@@ -349,6 +349,18 @@ ORACLES: dict[str, str] = {
                             WHERE o_orderpriority = '1-URGENT')
         GROUP BY 1
     """,
+    "events_hopping": """
+        WITH e AS (
+            SELECT epoch_us(ts) AS tus, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events)
+        SELECT make_timestamp((tus // 1800000000 - g) * 1800000000)
+                   AS window_start,
+               event_type, count(*) AS cnt,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM e, unnest(range(0, 2)) AS s(g)
+        GROUP BY 1, 2
+    """,
     "user_sessions": """
         WITH e AS (
             SELECT user_id, ts, event_id,
@@ -823,6 +835,47 @@ def q_urgent_customer_segments(sf_dir: str):
     return out.rename_columns({"count()": "n_customers"})
 
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING (overlapping) windowed aggregate: 1-hour windows every
+    30 minutes — each event lands in exactly size/hop = 2 windows
+    (flat-map row duplication with integer-µs window starts), then
+    count + integer-cents sum per (window_start, event_type). The
+    overlap is what tumbling q_events_window can't express."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ensure_hash_shuffle()
+    HOP = 1_800_000_000  # 30 min in µs
+    N_WIN = 2            # size = N_WIN * hop = 1 h
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tus = ts.to_numpy(zero_copy_only=False).view(np.int64)
+        k = tus // HOP
+        starts = np.concatenate(
+            [(k - g) * HOP for g in range(N_WIN)])
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.tile(np.floor(v * 100 + 0.5).astype(np.int64), N_WIN)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et_rep = pa.concat_arrays([et] * N_WIN)
+        return pa.Table.from_arrays(
+            [pa.array(starts).cast(pa.timestamp("us")), et_rep,
+             pa.array(cents)],
+            names=["window_start", "event_type", "cents"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = ds.map_batches(fn, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Count(), Sum("cents"))
+    return out.rename_columns({"count()": "cnt",
+                               "sum(cents)": "sum_cents"})
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization of the events stream (6-hour
     inactivity gap): keyed repartition on user_id, whole-block
@@ -1223,6 +1276,7 @@ QUERIES = {
     "image_simhash": q_image_simhash,
     "image_dctphash": q_image_dctphash,
     "events_window": q_events_window,
+    "events_hopping": q_events_hopping,
     "user_sessions": q_user_sessions,
     "lineitem_agg": q_lineitem_agg,
     "nation_revenue": q_nation_revenue,
