@@ -115,3 +115,46 @@ class TestSaltedFallbackPath:
         b = assignments.to_pandas().sort_values("image_id") \
             .reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestFullCheckpointResume:
+    def test_full_pipeline_resumes_without_recompute(self, full_result,
+                                                     ray_session,
+                                                     tmp_path):
+        """The flagship resumes from its stage checkpoints: a second
+        run with the same checkpoint_dir reuses full_exact/full_sigs
+        (parquet untouched on disk) and reproduces the assignments of
+        the checkpoint-free run bit-for-bit."""
+        import os
+
+        from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                      full_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        df_b, _ = full_result
+        cfg = FullDedupConfig(checkpoint_dir=str(tmp_path))
+        ds = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "caption", "phash"])
+        a1, s1 = full_dedup_pipeline(ds, cfg)
+        df1 = a1.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert df1.equals(df_b.sort_values("image_id")
+                          .reset_index(drop=True))
+        exact_dir = tmp_path / "full_exact"
+        sigs_dir = tmp_path / "full_sigs"
+        assert (exact_dir / "_SUCCESS").exists()
+        assert (sigs_dir / "_SUCCESS").exists()
+        assert (exact_dir / "_LEDGER.json").exists()  # IBLT ledger
+        mtimes = {p: os.path.getmtime(p) for d in (exact_dir, sigs_dir)
+                  for p in d.iterdir()}
+
+        ds2 = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "caption", "phash"])
+        a2, s2 = full_dedup_pipeline(ds2, FullDedupConfig(
+            checkpoint_dir=str(tmp_path)))
+        df2 = a2.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert df1.equals(df2)
+        assert s1 == s2
+        # checkpoint files untouched -> stages were read back, not rerun
+        assert mtimes == {p: os.path.getmtime(p)
+                          for d in (exact_dir, sigs_dir)
+                          for p in d.iterdir()}
