@@ -168,6 +168,14 @@ ORACLES: dict[str, str] = {
         WITH {CORPUS_SQL}
         SELECT count(DISTINCT caption) AS n_unique FROM corpus
     """,
+    "topk_sketch": f"""
+        WITH {CORPUS_SQL},
+        counts AS (SELECT caption AS value, count(*) AS frequency
+                   FROM corpus GROUP BY caption)
+        SELECT value, frequency,
+               row_number() OVER (ORDER BY frequency DESC, value) AS rank
+        FROM counts ORDER BY frequency DESC, value LIMIT 10
+    """,
     "token_stats": f"""
         WITH {CORPUS_SQL}
         SELECT image_id,
@@ -775,21 +783,27 @@ def q_priority_revenue(sf_dir: str):
                                "sum(price_cents)": "revenue_cents"})
 
 
-def q_urgent_customer_segments(sf_dir: str):
+def q_urgent_customer_segments(sf_dir: str,
+                               broadcast_limit: int = 2_000_000):
     """Bloom-accelerated semi-join: customers with ≥1 URGENT order,
     counted per market segment. The Bloom filter over the urgent
     orders' custkeys (distributed OR-merge build, KBs of state) prunes
     the probe side first — "not in filter" is a DEFINITE negative (no
     false negatives), so only the ~1% false-positive residue plus the
-    true members reach the exact check (broadcast sorted distinct-key
-    array here; a hash join above the broadcast limit). This is the
-    classic sketch pushdown the engine's Bloom tier gives an analytics
-    plan for free."""
+    true members reach the exact check. The exact side is GATED on the
+    distinct-key count: at or below ``broadcast_limit`` it is a
+    broadcast sorted int64 array (vectorized collect, searchsorted
+    probe); above it NOTHING is collected to the driver — the
+    bloom-pruned customers hash-join the distributed distinct-key set
+    instead (same switch shape as pipelines/dedup.py's band tier).
+    This is the classic sketch pushdown the engine's Bloom tier gives
+    an analytics plan for free."""
     import pyarrow.compute as pc
     import ray
     import ray.data
 
     from ..stages.sketch_aggs import _plain_fetch
+    from ..util import cluster_cpus
 
     ensure_hash_shuffle()
     urgent = ray.data.read_parquet(
@@ -804,34 +818,65 @@ def q_urgent_customer_segments(sf_dir: str):
     n = keys.count()
     f = build_bloom(keys, on="k", capacity=max(n, 1), error_rate=0.01)
     # exact side: distinct urgent custkeys (bounded by the customer
-    # table, the small side) — distributed distinct, tiny driver collect
-    distinct = keys.groupby("k").count()
-    dk = np.sort(np.array(
-        [int(v) for b in distinct.iter_batches(batch_size=1 << 16,
-                                               batch_format="pyarrow")
-         for v in b["k"].to_pylist()], dtype=np.int64))
-    side_ref = ray.put((f, dk))
-
-    def probe(batch: pa.Table) -> pa.Table:
-        blm, exact = _plain_fetch(side_ref)
-        ck = batch["c_custkey"]
-        if isinstance(ck, pa.ChunkedArray):
-            ck = ck.combine_chunks()
-        maybe = blm.has_many(pc.cast(ck, pa.string()))
-        ck_np = ck.to_numpy(zero_copy_only=False).astype(np.int64)
-        verified = np.zeros(len(ck_np), dtype=bool)
-        if maybe.any():  # exact check ONLY on the bloom-positive residue
-            cand = ck_np[maybe]
-            pos = np.minimum(np.searchsorted(exact, cand), len(exact) - 1)
-            ok = exact[pos] == cand if len(exact) else \
-                np.zeros(len(cand), dtype=bool)
-            verified[np.flatnonzero(maybe)[ok]] = True
-        return batch.filter(pa.array(verified))
-
+    # table, the small side) — distributed distinct
+    distinct = keys.groupby("k").count().materialize()
+    n_distinct = distinct.count()
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    out = cust.map_batches(probe, batch_format="pyarrow") \
-        .groupby("c_mktsegment").count()
+
+    if n_distinct <= broadcast_limit:
+        # small side: vectorized driver collect + broadcast probe
+        parts = [pc.cast(b["k"], pa.int64()).to_numpy(zero_copy_only=False)
+                 for b in distinct.iter_batches(batch_size=1 << 16,
+                                                batch_format="pyarrow")]
+        dk = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, dtype=np.int64)
+        side_ref = ray.put((f, dk))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            blm, exact = _plain_fetch(side_ref)
+            ck = batch["c_custkey"]
+            if isinstance(ck, pa.ChunkedArray):
+                ck = ck.combine_chunks()
+            maybe = blm.has_many(pc.cast(ck, pa.string()))
+            ck_np = ck.to_numpy(zero_copy_only=False).astype(np.int64)
+            verified = np.zeros(len(ck_np), dtype=bool)
+            if maybe.any():  # exact check ONLY on the bloom+ residue
+                cand = ck_np[maybe]
+                pos = np.minimum(np.searchsorted(exact, cand),
+                                 max(len(exact) - 1, 0))
+                ok = exact[pos] == cand if len(exact) else \
+                    np.zeros(len(cand), dtype=bool)
+                verified[np.flatnonzero(maybe)[ok]] = True
+            return batch.filter(pa.array(verified))
+
+        pruned = cust.map_batches(probe, batch_format="pyarrow")
+    else:
+        # big side: broadcast ONLY the Bloom filter (KBs); the exact
+        # residue check is a distributed hash join against the
+        # distinct-key dataset — no driver collect at any size
+        bref = ray.put(f)
+
+        def bloom_prune(batch: pa.Table) -> pa.Table:
+            blm = _plain_fetch(bref)
+            ck = batch["c_custkey"]
+            if isinstance(ck, pa.ChunkedArray):
+                ck = ck.combine_chunks()
+            maybe = blm.has_many(pc.cast(ck, pa.string()))
+            return batch.filter(pa.array(maybe))
+
+        def to_int(batch: pa.Table) -> pa.Table:
+            return pa.table({"uk": pc.cast(batch["k"], pa.int64())})
+
+        keys_int = distinct.map_batches(to_int, batch_format="pyarrow") \
+            .materialize()
+        pruned = cust.map_batches(bloom_prune, batch_format="pyarrow") \
+            .materialize() \
+            .join(keys_int, "inner", max(8, cluster_cpus()),
+                  on=("c_custkey",), right_on=("uk",)) \
+            .materialize()
+
+    out = pruned.groupby("c_mktsegment").count()
     return out.rename_columns({"count()": "n_customers"})
 
 
@@ -896,50 +941,37 @@ def q_user_sessions(sf_dir: str):
 def q_xor_members(sf_dir: str):
     """Static-set membership via XOR filters (16-bit fingerprints) over
     the exact-tier representative ids. XOR peeling is a global
-    construction, so the distributed build is per-PARTITION: each block
-    peels its own filter inside the task and ships only the tiny filter
-    artifact; the union (a broadcast list) is probed vectorized —
-    present = any(filter.has). Per-filter no-false-negatives still
-    holds, so every member probes True; the false-positive odds grow
-    ~x n_filters (16-bit fingerprints keep that negligible)."""
-    import pickle
-
-    import ray
-
-    from ..stages.sketch_aggs import _plain_fetch
+    construction, so the distributed shape is CO-PARTITIONED build +
+    probe: each block peels its own filter and probes its own members
+    inside ONE task (vectorized ``has_many``) — no broadcast list, no
+    O(n_blocks) cross-filter scans, work scales with blocks (the
+    q_cuckoo_members shape). Per-filter no-false-negatives holds
+    (reference has() contract, src/bloom/xor-filter.ts:239-259), so
+    every member probes True; a cross-partition lookup service would
+    route each probe key to its build partition by the same hash —
+    never fan out to all filters."""
     from ..state.xor_filter import XorFilter
     from .dedup import exact_tier
 
     cfg = DedupConfig()
     ds = corpus_dataset(sf_dir, with_bytes=False).select_columns(
         ["image_id", "caption"])
-    reps = exact_tier(ds, cfg).filter(expr="is_rep == True")         .select_columns(["image_id"]).materialize()
+    reps = exact_tier(ds, cfg).filter(expr="is_rep == True") \
+        .select_columns(["image_id"])
 
-    def build_block(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
-        if not ids:
-            return pa.table({"filter": pa.array([], type=pa.binary())})
-        xf = XorFilter.create(ids, bits_per_fingerprint=16)
-        return pa.table({"filter": pa.array([pickle.dumps(xf)],
-                                            type=pa.binary())})
-
-    filters = [pickle.loads(r["filter"]) for r in
-               reps.map_batches(build_block, batch_format="pyarrow",
-                                batch_size=None).take_all()]
-    ref = ray.put(filters)
-
-    def probe(batch: pa.Table) -> pa.Table:
-        fs = _plain_fetch(ref)
+    def build_probe(batch: pa.Table) -> pa.Table:
         col = batch["image_id"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        present = np.zeros(len(col), dtype=bool)
-        for f in fs:
-            present |= f.has_many(col)
-        return batch.append_column("present",
-                                   pa.array(present, type=pa.bool_()))
+        if len(col) == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "present": pa.array([], type=pa.bool_())})
+        xf = XorFilter.create(col.to_pylist(), bits_per_fingerprint=16)
+        present = xf.has_many(col)
+        return pa.table({"image_id": col,
+                         "present": pa.array(present, type=pa.bool_())})
 
-    return reps.map_batches(probe, batch_format="pyarrow")
+    return reps.map_batches(build_probe, batch_format="pyarrow")
 
 
 def q_cuckoo_members(sf_dir: str):
@@ -963,13 +995,18 @@ def q_cuckoo_members(sf_dir: str):
         .select_columns(["image_id"])
 
     def build_probe(batch: pa.Table) -> pa.Table:
-        ids = [str(x) for x in batch["image_id"].to_pylist()]
+        col = batch["image_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = [str(x) for x in col.to_pylist()]  # inserts: kick chains
         if not ids:
             return pa.table({"image_id": pa.array([], type=pa.string()),
                              "present": pa.array([], type=pa.bool_())})
         f = CuckooFilter.create(len(ids), error_rate=0.01)
         stash = {x for x in ids if not f.add(x)}
-        present = [f.has(x) or x in stash for x in ids]
+        present = f.has_many(col)  # vectorized probe
+        if stash:  # exact overflow stash (rare kick-budget overflow)
+            present |= np.array([x in stash for x in ids], dtype=bool)
         return pa.table({"image_id": pa.array(ids, type=pa.string()),
                          "present": pa.array(present, type=pa.bool_())})
 
@@ -1020,11 +1057,22 @@ def q_ngram_jaccard(sf_dir: str):
 
 def q_topk_sketch(sf_dir: str):
     """Distributed reference-semantics TopK (CMS estimates + candidate
-    heap): top 10 caption frequencies."""
+    heap, topk.ts:138-262): top 10 caption frequencies. HARD-oracled:
+    with the CMS geometry (27k columns × 7 rows — accuracy=e^-7 in the
+    reference's rows=ceil(ln(1/accuracy)) API; the 0.999 default would
+    build a 1-row sketch that overcounts ~3.5% of keys here) far above
+    the distinct-caption count, and ``candidates_per_block`` above the
+    per-block distinct count, the sketch's estimates are the exact
+    counts and its (freq desc, value) ranking is the SQL twin's
+    row_number() — the same exactness regime the reference's own test
+    suite asserts (topk.test.ts expects exact frequencies)."""
+    import math
+
     from ..stages.sketch_aggs import build_topk
 
     ds = _caption_corpus(sf_dir).select_columns(["caption"])
-    top = build_topk(ds, on="caption", k=10)
+    top = build_topk(ds, on="caption", k=10, accuracy=math.exp(-7),
+                     candidates_per_block=4096)
     return pa.table({
         "value": pa.array([t["value"] for t in top], type=pa.string()),
         "frequency": pa.array([t["frequency"] for t in top], type=pa.int64()),

@@ -276,12 +276,15 @@ def make_embedding_variants(batch: pa.Table, eps: float = 0.1) -> pa.Table:
 # view). Unlike make_embedding_variants' hash-keystream noise, zeroing
 # one coordinate is expressible in SQL, so pair queries over this
 # corpus join the hard oracle gate.
-EMB_ZEROED_SQL = """zeroed_variants AS (
+EMB_ZEROED_DIM = 64  # testdata embedding dim; asserted by the engine twin
+
+EMB_ZEROED_SQL = f"""zeroed_variants AS (
     SELECT vec_id * 2 AS emb_id, embedding FROM embeddings
     UNION ALL
     SELECT vec_id * 2 + 1,
            list_transform(embedding,
-               (x, i) -> CASE WHEN i - 1 = vec_id % 64 THEN 0 ELSE x END)
+               (x, i) -> CASE WHEN i - 1 = vec_id % {EMB_ZEROED_DIM}
+                         THEN 0 ELSE x END)
     FROM embeddings)"""
 
 
@@ -301,6 +304,12 @@ def make_zeroed_variants(batch: pa.Table) -> pa.Table:
     n = len(vec_ids)
     E = np.asarray(col.values, dtype=np.float64).reshape(n, -1)
     d = E.shape[1]
+    if d != EMB_ZEROED_DIM:  # keep the DuckDB twin (EMB_ZEROED_SQL,
+        # which hardcodes the modulus) from silently diverging
+        raise ValueError(
+            f"make_zeroed_variants: embedding dim {d} != EMB_ZEROED_DIM"
+            f"={EMB_ZEROED_DIM}; update the shared constant so the SQL "
+            "oracle twin stays in lockstep")
     E2 = E.copy()
     E2[np.arange(n), vec_ids % d] = 0.0
     out = np.empty((2 * n, d), dtype=np.float64)

@@ -86,14 +86,16 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
     store; beyond that, the LSH-banded ``embedding_neardup`` pipeline
     is the scale path and this function is its recall oracle.
 
-    *ds* should be materialized (it is consumed twice: the corpus
-    collect and the pair scan). Returns a Dataset of (a, b) int64
-    pairs, each unordered pair exactly once. Corpora beyond
-    *broadcast_limit* rows fail LOUDLY — use the LSH-banded
-    ``embedding_neardup`` pipeline there; silent driver OOM is worse
-    than a ValueError."""
+    *ds* is materialized internally (it is consumed twice — the corpus
+    collect and the pair scan — and a lazy input would silently
+    re-execute its whole upstream lineage on the second pass).
+    Returns a Dataset of (a, b) int64 pairs, each unordered pair
+    exactly once. Corpora beyond *broadcast_limit* rows fail LOUDLY —
+    use the LSH-banded ``embedding_neardup`` pipeline there; silent
+    driver OOM is worse than a ValueError."""
     import ray
 
+    ds = ds.materialize()  # consumed twice; no-op if already material
     tbl = pa.concat_tables(
         [b for b in ds.select_columns([id_col, emb_col])
          .iter_batches(batch_size=1 << 16, batch_format="pyarrow")])

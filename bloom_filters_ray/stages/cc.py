@@ -51,9 +51,21 @@ def _combine(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _no_nulls(col: pa.Array, where: str) -> pa.Array:
+    """Edge columns must be null-free: a null integer id silently
+    becomes NaN→undefined int64 downstream (corrupting fingerprints
+    and min-id ranks). Fail loudly instead."""
+    if col.null_count:
+        raise ValueError(
+            f"{where}: edge id column contains {col.null_count} null(s); "
+            "connected-components edges must be null-free")
+    return col
+
+
 def _id_hash(col: pa.Array, seed: int) -> np.ndarray:
     """Per-element hash of an id column — string/binary via the Arrow
     buffer path, integer ids (e.g. emb_id) via the word kernel."""
+    _no_nulls(col, "_id_hash")
     if pa.types.is_integer(col.type):
         w = col.to_numpy(zero_copy_only=False).astype(np.int64) \
             .view(np.uint64)
@@ -106,6 +118,8 @@ def _encode_pair(u: pa.Array, v: pa.Array):
     (ucodes, vcodes, sorted_dictionary). Codes are sorted ranks, so
     ``code_x < code_y  ⟺  x < y`` within the block — min-id semantics
     survive the encoding. Integer ids pass through (dictionary None)."""
+    _no_nulls(u, "_encode_ids")
+    _no_nulls(v, "_encode_ids")
     if pa.types.is_integer(u.type):
         return (u.to_numpy(zero_copy_only=False).astype(np.int64),
                 v.to_numpy(zero_copy_only=False).astype(np.int64), None)

@@ -66,30 +66,34 @@ class _Shard:
         self._filter = _new_filter(kind, capacity, error_rate, seed)
         self._n_added = 0
 
-    def check_and_add(self, keys: list[bytes]) -> np.ndarray:
+    def check_and_add(self, keys) -> np.ndarray:
         """For each key IN ORDER: True if new (and insert), False if
-        already present. In-batch duplicates: only the first is new."""
+        already present. In-batch duplicates: only the first is new.
+        *keys* is an Arrow string/binary array (preferred — zero-copy
+        from the routing stage) or a list of bytes/str."""
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if not isinstance(keys, pa.Array):
+            keys = pa.array([_as_bytes(k) for k in keys],
+                            type=pa.binary())
         f = self._filter
-        if hasattr(f, "has_many") and hasattr(f, "add_many"):
-            # vectorized: probe all, then insert first occurrences of
-            # the absent keys (order-equivalent to the scalar loop)
-            present = np.asarray(f.has_many(keys), dtype=bool)
-            _, first_idx = np.unique(np.array(keys, dtype=object),
-                                     return_index=True)
-            first = np.zeros(len(keys), dtype=bool)
-            first[first_idx] = True
-            is_new = (~present) & first
-            if is_new.any():
-                f.add_many([k for k, m in zip(keys, is_new) if m])
-            self._n_added += int(is_new.sum())
-            return is_new
-        out = np.zeros(len(keys), dtype=bool)
-        for i, k in enumerate(keys):  # cuckoo: kicks are stateful
-            if not f.has(k):
-                f.add(k)
-                out[i] = True
-                self._n_added += 1
-        return out
+        # first-occurrence mask without per-row Python objects
+        codes = keys.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        first = np.zeros(len(keys), dtype=bool)
+        first[np.unique(codes, return_index=True)[1]] = True
+        # every filter kind has a vectorized probe
+        present = np.asarray(f.has_many(keys), dtype=bool)
+        is_new = (~present) & first
+        if is_new.any():
+            new_keys = keys.take(pa.array(np.flatnonzero(is_new)))
+            if hasattr(f, "add_many"):
+                f.add_many(new_keys)
+            else:  # cuckoo: kick chains are inherently sequential
+                for k in new_keys:
+                    f.add(k.as_py())
+        self._n_added += int(is_new.sum())
+        return is_new
 
     def remove(self, keys: list[bytes]) -> int:
         if not hasattr(self._filter, "remove"):
@@ -151,15 +155,17 @@ class SeenSet:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             shard_of = (xxh64_arrow(col, seed) % np.uint64(num)).astype(np.int64)
-            keys = col.to_pylist()
+            if pa.types.is_string(col.type) or \
+                    pa.types.is_large_string(col.type):
+                col = col.cast(pa.binary())  # same utf-8 bytes
             refs, idxs = [], []
             for s in range(num):
                 idx = np.flatnonzero(shard_of == s)
-                if len(idx):
+                if len(idx):  # zero-copy-ish Arrow slice per shard
                     refs.append(shards[s].check_and_add.remote(
-                        [_as_bytes(keys[i]) for i in idx]))
+                        col.take(pa.array(idx))))
                     idxs.append(idx)
-            out = np.zeros(len(keys), dtype=bool)
+            out = np.zeros(len(col), dtype=bool)
             for idx, res in zip(idxs, ray.get(refs)):
                 out[idx] = res
             return batch.append_column("is_new", pa.array(out))

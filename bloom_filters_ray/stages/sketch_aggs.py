@@ -209,10 +209,16 @@ class TopKAgg(AggregateFnV2):
 
 
 def build_topk(ds, on: str, k: int = 10, error_rate: float = 1e-4,
+               accuracy: float = 0.999,
+               candidates_per_block: int | None = None,
                seed: int = DEFAULT_SEED) -> list[dict]:
-    return pickle.loads(ds.aggregate(TopKAgg(on=on, k=k,
-                                             error_rate=error_rate,
-                                             seed=seed))["topk"])
+    """NOTE the reference's accuracy→depth formula is
+    ``rows = ceil(ln(1/accuracy))`` (count-min-sketch.ts create), so
+    the 0.999 default yields a ONE-row CMS — pass ``accuracy=e^-d``
+    for a d-row sketch when estimates must be (near-)exact."""
+    return pickle.loads(ds.aggregate(TopKAgg(
+        on=on, k=k, error_rate=error_rate, accuracy=accuracy,
+        candidates_per_block=candidates_per_block, seed=seed))["topk"])
 
 
 def build_bloom(ds, on: str, capacity: int, error_rate: float = 0.01,

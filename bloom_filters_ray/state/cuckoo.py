@@ -129,6 +129,7 @@ class CuckooFilter:
         self._length = 0
         self._max_kicks = max_kicks
         self._seed = seed
+        self._snap = None  # lazy has_many probe snapshot
         if mode == "reference":
             # kick-for-kick parity: the reference draws all kick
             # randomness from seedrandom(`${seed}`) (base-filter.ts)
@@ -204,6 +205,7 @@ class CuckooFilter:
         return fingerprint, i1, i2
 
     def add(self, element, throw_error: bool = False, destructive: bool = False) -> bool:
+        self._snap = None
         fp, i1, i2 = self._locations(element)
         if self._filter[i1].is_free():
             self._filter[i1].add(fp)
@@ -241,6 +243,7 @@ class CuckooFilter:
         return True
 
     def remove(self, element) -> bool:
+        self._snap = None
         fp, i1, i2 = self._locations(element)
         if self._filter[i1].has(fp):
             self._filter[i1].remove(fp)
@@ -255,6 +258,95 @@ class CuckooFilter:
     def has(self, element) -> bool:
         fp, i1, i2 = self._locations(element)
         return self._filter[i1].has(fp) or self._filter[i2].has(fp)
+
+    def _locations_many(self, arr):
+        """Vectorized ``_locations`` over an Arrow string/binary array
+        (or a list): (fp_values u64, i1, i2) — bit-identical to the
+        scalar path. Only valid for the built-in XXH64 hash."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ..hashing import xxh64_arrow
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, pa.Array):
+            arr = pa.array(list(arr))
+        h = xxh64_arrow(arr, self._seed)  # uint64
+        fl = self._fingerprint_length
+        # unpadded-hex digit count of h (exact, no float log): 1 + #{j:
+        # h >= 16^j}
+        ndig = np.ones(len(h), dtype=np.int64)
+        for j in range(1, 16):
+            ndig += (h >= np.uint64(1) << np.uint64(4 * j)).astype(np.int64)
+        if (ndig < fl).any():
+            bad = int(ndig[ndig < fl][0])
+            raise ValueError(
+                f"The fingerprint length ({fl}) is higher "
+                f"than the hash length ({bad})")
+        # fingerprint = first fl hex chars of the unpadded hex = top fl
+        # nibbles below the leading digit
+        fpv = h >> (np.uint64(4) * (ndig - fl).astype(np.uint64))
+        # the reference hashes the fingerprint STRING; rebuild the
+        # fl-char lowercase-hex strings vectorized (no per-row format())
+        n = len(h)
+        ascii_mat = np.empty((n, fl), dtype=np.uint8)
+        for j in range(fl):
+            nib = ((fpv >> np.uint64(4 * (fl - 1 - j)))
+                   & np.uint64(0xF)).astype(np.uint8)
+            ascii_mat[:, j] = nib + np.where(nib < 10, 48, 87).astype(np.uint8)
+        offsets = np.arange(0, (n + 1) * fl, fl, dtype=np.int32)
+        fp_arr = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(ascii_mat.tobytes()))
+        h2 = xxh64_arrow(fp_arr, self._seed)
+        if self._mode == "reference":
+            size = np.uint64(self._size)
+            i1 = (h % size).astype(np.int64)
+            i2 = ((h ^ h2) % size).astype(np.int64)
+        else:
+            mask = np.uint64(self._size - 1)
+            i1 = (h & mask).astype(np.int64)
+            i2 = (i1.astype(np.uint64) ^ (h2 & mask)).astype(np.int64)
+        return fpv, i1, i2
+
+    def _probe_snapshot(self):
+        """(values, valid) matrices of the current table — stored hex
+        fingerprints as u64 (same length fl ⇒ int() is injective).
+        Rebuilt lazily after any add/remove."""
+        import numpy as np
+
+        if getattr(self, "_snap", None) is None:  # getattr: old pickles
+            vals = np.zeros((self._size, self._bucket_size), dtype=np.uint64)
+            valid = np.zeros((self._size, self._bucket_size), dtype=bool)
+            for i, b in enumerate(self._filter):
+                for j, e in enumerate(b._elements):
+                    if e is not None:
+                        vals[i, j] = int(e, 16)
+                        valid[i, j] = True
+            self._snap = (vals, valid)
+        return self._snap
+
+    def has_many(self, arr):
+        """Vectorized ``has`` over an Arrow string/binary array (or a
+        list) → bool ndarray. Probes are pure gathers against a cached
+        table snapshot; inserts stay sequential (kick chains are
+        reference semantics)."""
+        import numpy as np
+
+        if self._hasher is not None:  # custom hash: per-element path
+            import pyarrow as pa
+
+            items = arr.to_pylist() if isinstance(
+                arr, (pa.Array, pa.ChunkedArray)) else list(arr)
+            return np.array([self.has(x) for x in items], dtype=bool)
+        fpv, i1, i2 = self._locations_many(arr)
+        if len(fpv) == 0:
+            return np.zeros(0, dtype=bool)
+        vals, valid = self._probe_snapshot()
+        m1 = ((vals[i1] == fpv[:, None]) & valid[i1]).any(axis=1)
+        m2 = ((vals[i2] == fpv[:, None]) & valid[i2]).any(axis=1)
+        return m1 | m2
 
     def rate(self) -> float:
         load = self._load()["load"]

@@ -169,18 +169,30 @@ class HyperLogLog:
         }
         if self._mode != "reference":  # reference JSON layout has no mode
             out["_mode"] = self._mode
-        if self._hash_family != "xxh3":  # reference family is xxh3
+            # engine exports ALWAYS carry the family so a pre-xxh3
+            # legacy file (which has _mode but no _hashFamily) is
+            # distinguishable from a current export — from_json raises
+            # on that ambiguous shape instead of guessing
+            out["_hashFamily"] = self._hash_family
+        elif self._hash_family != "xxh3":  # reference family is xxh3
             out["_hashFamily"] = self._hash_family
         return out
 
     @staticmethod
     def from_json(data: dict) -> "HyperLogLog":
-        """Restore from JSON. A missing ``_hashFamily`` means the
-        reference family (xxh3) — reference exports never carry the
-        field. COMPAT NOTE: engine JSON written before the xxh3 switch
-        (round-1 exports, which were XXH64-built and predate the field)
-        is therefore invalidated — reloading one would silently mix
-        hash families in a register set; re-export from source data."""
+        """Restore from JSON. A missing ``_hashFamily`` on a pure
+        reference-layout file (no ``_mode`` either) means the reference
+        family (xxh3). An ENGINE export (``_mode`` present) always
+        carries ``_hashFamily``; one without it is a pre-xxh3 legacy
+        file whose registers were XXH64-built — reloading it as xxh3
+        would silently mix hash families in one register set, so it
+        raises instead (re-export from source data)."""
+        if "_mode" in data and "_hashFamily" not in data:
+            raise ValueError(
+                "ambiguous legacy HyperLogLog export: engine JSON "
+                "without _hashFamily predates the xxh3 switch (its "
+                "registers are XXH64-built); re-export from source "
+                "data instead of mixing hash families")
         f = HyperLogLog(data["_m"], import_bigint(data["_seed"]),
                         data.get("_mode", "reference"),
                         data.get("_hashFamily", "xxh3"))

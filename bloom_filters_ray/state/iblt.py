@@ -223,9 +223,17 @@ class InvertibleBloomFilter:
 
     def add_many(self, arr) -> None:
         """Batched ``add`` of every element of an Arrow string array:
-        digests are computed vectorized; only the per-cell byte-XOR
-        updates remain per element."""
+        digests are vectorized AND the per-cell updates are batched —
+        rows are grouped by target cell (one argsort), the utf-8 bytes
+        are right-aligned into a fixed-width u8 matrix (leading-zero
+        padding ≡ ``xor_bytes`` right-alignment) and XOR-reduced per
+        group via ``np.bitwise_xor.reduceat``; one Python-level update
+        per TOUCHED CELL per batch (≤ table size), not per element.
+        Bit-identical to a sequence of scalar ``add`` calls (XOR is
+        associative/commutative; counts are sums)."""
         import pyarrow as pa
+
+        from ..hashing import arrow_string_buffers
 
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -233,13 +241,39 @@ class InvertibleBloomFilter:
         if n == 0:
             return
         hs = self.gen_hashes_many(arr)
-        idxs = self.gen_indexes_many(arr)
+        idxs = self.gen_indexes_many(arr)  # (n, hc)
+        hc = self._hash_count
+        data, starts, lengths = arrow_string_buffers(arr)
+        m = int(lengths.max()) if n else 0
+        pad = np.zeros((n, m), dtype=np.uint8)
+        total = int(lengths.sum())
+        if total:
+            cs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=cs[1:])
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(cs[:-1], lengths)
+            row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            src = np.repeat(starts.astype(np.int64), lengths) + within
+            dst = row * m + (m - lengths[row]) + within
+            pad.ravel()[dst] = data[src]
+        flat_c = idxs.ravel()
+        rows = np.repeat(np.arange(n, dtype=np.int64), hc)
+        order = np.argsort(flat_c, kind="stable")
+        fc = flat_c[order]
+        fr = rows[order]
+        gstart = np.flatnonzero(
+            np.concatenate(([True], fc[1:] != fc[:-1])))
+        gid = np.bitwise_xor.reduceat(pad[fr], gstart, axis=0) if m else \
+            np.zeros((len(gstart), 0), dtype=np.uint8)
+        hu = (hs.astype(np.int64) & 0xFFFFFFFF).astype(np.uint32)
+        ghash = np.bitwise_xor.reduceat(hu[fr], gstart)
+        gcount = np.diff(np.concatenate((gstart, [len(fc)])))
         cells = self._elements
-        for r, v in enumerate(arr.to_pylist()):
-            value = v.encode("utf-8")
-            h = int(hs[r])
-            for c in idxs[r]:
-                cells[c].add(value, h)
+        for g, c in enumerate(fc[gstart]):
+            cell = cells[int(c)]
+            cell._id_sum = xor_bytes(cell._id_sum, gid[g].tobytes())
+            cell._hash_sum = _int32(cell._hash_sum ^ int(ghash[g]))
+            cell._count += int(gcount[g])
 
     def remove(self, element: str) -> bool:
         value = element.encode("utf-8")

@@ -71,8 +71,15 @@ class ScalableBloomFilter:
     def add_many(self, elements) -> None:
         """Vectorized bulk add: fills the current filter in sub-batches,
         re-checking the growth condition between them (semantics match a
-        sequence of ``add`` calls up to intra-sub-batch growth timing)."""
-        elements = list(elements)
+        sequence of ``add`` calls up to intra-sub-batch growth timing).
+        Accepts lists or Arrow arrays (zero-copy slicing)."""
+        import pyarrow as pa
+
+        if isinstance(elements, pa.ChunkedArray):
+            elements = elements.combine_chunks()
+        is_arrow = isinstance(elements, pa.Array)
+        if not is_arrow:
+            elements = list(elements)
         pos = 0
         while pos < len(elements):
             if self.current.load() >= 0.5:
@@ -80,7 +87,8 @@ class ScalableBloomFilter:
             # small chunks so the load re-check keeps overshoot past the
             # 0.5-load growth threshold negligible
             room = max(64, self.current.capacity // 8)
-            chunk = elements[pos : pos + room]
+            chunk = elements.slice(pos, room) if is_arrow \
+                else elements[pos : pos + room]
             self.current.add_many(chunk)
             pos += len(chunk)
 

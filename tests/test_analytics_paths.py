@@ -1,0 +1,122 @@
+"""Path-equivalence tests for the analytics queries' scale switches:
+the distributed fallbacks must be bit-equal to the broadcast paths
+they replace above the gate (north_rule: partitioning/shuffle handled
+explicitly — both sides of every gate produce the same answer)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pandas(res):
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestUrgentSegmentsPaths:
+    def test_join_path_matches_broadcast_bit_for_bit(self, ray_session):
+        from bloom_filters_ray.pipelines.queries import \
+            q_urgent_customer_segments
+
+        broadcast = _sorted_pandas(
+            q_urgent_customer_segments(SF).to_pandas())
+        # broadcast_limit=0 forces the distributed hash-join residue
+        # check (nothing collected to the driver)
+        joined = _sorted_pandas(
+            q_urgent_customer_segments(SF, broadcast_limit=0).to_pandas())
+        assert list(broadcast.columns) == list(joined.columns)
+        assert broadcast.equals(joined)
+        assert broadcast["n_customers"].sum() > 0
+
+
+class TestCuckooHasMany:
+    def test_vectorized_probe_matches_scalar(self):
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        for mode in ("standard", "reference"):
+            f = CuckooFilter.create(800, error_rate=0.01)
+            if mode == "reference":
+                f = CuckooFilter(200, f.fingerprint_length, 4,
+                                 mode="reference")
+            members = [f"item-{i:04d}" for i in range(600)]
+            for x in members:
+                f.add(x)
+            probe = members + [f"absent-{i}" for i in range(800)]
+            scalar = np.array([f.has(x) for x in probe])
+            vec = f.has_many(pa.array(probe))
+            assert (scalar == vec).all()
+
+    def test_snapshot_invalidated_by_add_and_remove(self):
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter.create(100, error_rate=0.01)
+        f.add("a")
+        assert f.has_many(pa.array(["a", "b"])).tolist() == [True, False]
+        f.add("b")
+        assert f.has_many(pa.array(["a", "b"])).tolist() == [True, True]
+        f.remove("a")
+        assert f.has_many(pa.array(["a", "b"])).tolist() == [False, True]
+
+    def test_fingerprint_too_long_raises_like_scalar(self):
+        from bloom_filters_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter(64, 17, 4)  # 17 hex chars > any 64-bit hash
+        with pytest.raises(ValueError, match="fingerprint length"):
+            f.has("x")
+        with pytest.raises(ValueError, match="fingerprint length"):
+            f.has_many(pa.array(["x", "y"]))
+
+
+class TestIBLTAddManyBatched:
+    def test_bit_equal_to_scalar_adds(self):
+        from bloom_filters_ray.state.iblt import InvertibleBloomFilter
+
+        items = [f"item-{i}" for i in range(300)] + ["dup"] * 3 + ["", "x"]
+        a = InvertibleBloomFilter(60)
+        for it in items:
+            a.add(it)
+        b = InvertibleBloomFilter(60)
+        b.add_many(pa.chunked_array([items[:100], items[100:]]))
+        assert all(x.equals(y) for x, y in zip(a._elements, b._elements))
+
+    def test_sliced_input(self):
+        from bloom_filters_ray.state.iblt import InvertibleBloomFilter
+
+        items = [f"k{i}" for i in range(50)]
+        a = InvertibleBloomFilter(20)
+        for it in items:
+            a.add(it)
+        b = InvertibleBloomFilter(20)
+        b.add_many(pa.array(["pad"] + items).slice(1))
+        assert all(x.equals(y) for x, y in zip(a._elements, b._elements))
+
+
+class TestCCNullGuards:
+    def test_null_edge_ids_raise(self):
+        from bloom_filters_ray.stages.cc import _id_hash
+
+        with pytest.raises(ValueError, match="null"):
+            _id_hash(pa.array([1, None, 3], type=pa.int64()), 7)
+
+
+class TestHLLLegacyGuard:
+    def test_ambiguous_legacy_export_raises(self):
+        from bloom_filters_ray.state.hyperloglog import HyperLogLog
+
+        h = HyperLogLog(16, mode="standard")
+        data = h.save_as_json()
+        assert data["_hashFamily"] == "xxh3"  # engine exports carry it
+        del data["_hashFamily"]  # simulate a pre-xxh3 legacy file
+        with pytest.raises(ValueError, match="legacy"):
+            HyperLogLog.from_json(data)
+
+    def test_reference_layout_roundtrip_still_clean(self):
+        from bloom_filters_ray.state.hyperloglog import HyperLogLog
+
+        h = HyperLogLog(16)  # reference mode: pure reference layout
+        data = h.save_as_json()
+        assert "_mode" not in data and "_hashFamily" not in data
+        g = HyperLogLog.from_json(data)
+        assert g.equals(h)
