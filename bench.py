@@ -144,7 +144,53 @@ def bench_substring(sf_dir: str) -> int:
         .select_columns(["image_id", "caption"])
     uniq = exact_tier(ds, cfg).filter(expr="is_rep == True") \
         .select_columns(["image_id", "caption"])
-    return substring_flags_sharded(uniq, num_partitions=16).count()
+    # BENCH_SUBSTR_TPB shrinks the size-adaptive partition threshold so
+    # scaling runs can force the sharded path (p_eff > 1) at bench scale
+    tpb = int(os.environ.get("BENCH_SUBSTR_TPB", str(32 << 20)))
+    return substring_flags_sharded(uniq, num_partitions=16,
+                                   target_partition_bytes=tpb).count()
+
+
+EXTRAS: dict = {}  # per-process metrics side channel (e.g. recall)
+
+
+def bench_caption_skewed(sf_dir: str) -> int:
+    """Salting A/B workload (not part of the per-round headline set):
+    caption dedup over a corpus where BENCH_SKEW_PCT% of docs share a
+    30-token boilerplate prefix — cross-doc Jaccard ≈ 0.6 (below the
+    0.8 verify threshold) but band-collision rate is high, so LSH
+    buckets go hot with candidates verification must reject. Salting
+    is toggled via BENCH_HOT_THRESHOLD (empty = off); the bucket cap
+    is loosened (BENCH_SKEW_MAX_BUCKET, default 4096) so the unsalted
+    arm actually pays the quadratic hot-bucket cost the cap normally
+    hides. Planted-pair recall (doc's v0 rep clustered with its v2
+    near-dup rep) lands in EXTRAS."""
+    from bloom_filters_ray.pipelines.dedup import DedupConfig, dedup_pipeline
+    from bloom_filters_ray.sources.synthetic import (corpus_dataset,
+                                                     make_boiler_skew_fn)
+
+    pct = int(os.environ.get("BENCH_SKEW_PCT", "40"))
+    max_bucket = int(os.environ.get("BENCH_SKEW_MAX_BUCKET", "4096"))
+    hot_env = os.environ.get("BENCH_HOT_THRESHOLD", "")
+    cfg = DedupConfig(num_partitions=PARTITIONS, max_bucket=max_bucket,
+                      hot_threshold=int(hot_env) if hot_env else None)
+    ds = corpus_dataset(sf_dir, copies=COPIES, with_bytes=False) \
+        .select_columns(["image_id", "caption", "doc_id"]) \
+        .map_batches(make_boiler_skew_fn(pct), batch_format="pyarrow") \
+        .select_columns(["image_id", "caption"])
+    assignments, _ = dedup_pipeline(ds, cfg)
+    df = assignments.select_columns(["image_id", "cluster_id"]).to_pandas()
+    # image_id = img-{doc:08d}-{variant}; recall over the planted
+    # (variant 0, variant 2) near-dup pair per doc
+    var = df.image_id.str.rsplit("-", n=1).str[-1]
+    doc = df.image_id.str.slice(4, 12)
+    d0 = df[var == "0"].set_index(doc[var == "0"])["cluster_id"]
+    d2 = df[var == "2"].set_index(doc[var == "2"])["cluster_id"]
+    joined = d0.align(d2, join="inner")
+    EXTRAS["caption_skewed_recall"] = round(
+        float((joined[0] == joined[1]).mean()), 4)
+    EXTRAS["caption_skewed_hot_threshold"] = hot_env or None
+    return len(df)
 
 
 BENCH_QUERIES = {
@@ -154,6 +200,12 @@ BENCH_QUERIES = {
     "image_features": bench_image_features,
     "ann_embedding": bench_ann,
     "substring_dedup": bench_substring,
+}
+
+# opt-in workloads (reachable via --child / --salting-ab / scaling env;
+# NOT in the per-round headline set, which stays comparable across rounds)
+EXTRA_QUERIES = {
+    "caption_skewed": bench_caption_skewed,
 }
 
 
@@ -181,21 +233,22 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    names = [n for n in BENCH_QUERIES if not only or n in only]
+    pool = {**BENCH_QUERIES, **EXTRA_QUERIES} if only else BENCH_QUERIES
+    names = [n for n in pool if not only or n in only]
     # best-of-N with the repeats in OUTER cycles (q1 q2 ... qk, q1 q2
     # ...): this host's wall time drifts ±70% with a period of minutes,
     # so consecutive repeats of one query share the same drift phase —
     # cycling decorrelates the N samples from local drift for free.
     for _ in range(max(REPEAT, 1)):
         for name in names:
-            fn = BENCH_QUERIES[name]
+            fn = pool[name]
             t0 = time.perf_counter()
             rows[name] = int(fn(sf_dir))
             dt = time.perf_counter() - t0
             if name not in times or dt < times[name]:
                 times[name] = round(dt, 3)
     ray.shutdown()
-    return {
+    out = {
         "metric": "headline pipeline wall time (dedup tiers, sketches, image features, ANN, substring)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -207,6 +260,9 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
         "copies": COPIES,
         "partitions": PARTITIONS,
     }
+    if EXTRAS:
+        out["extras"] = dict(EXTRAS)
+    return out
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -216,8 +272,10 @@ def run_scaling(sf_dir: str) -> dict:
     BENCH_SCALE_LEGS per level, default 3) and the best throughput
     per leg is kept: this host's performance drifts ±50% over tens of
     minutes, so back-to-back single legs measure drift, not scaling
-    (BASELINE.md records the drift probes)."""
+    (BASELINE.md records the drift probes). BENCH_SCALE_QUERY picks
+    the pipeline (default full_neardup; any BENCH/EXTRA query name)."""
     lo, hi = SCALE_N, 4 * SCALE_N
+    q = os.environ.get("BENCH_SCALE_QUERY", "full_neardup")
     best: dict[int, dict] = {}
     legs = int(os.environ.get("BENCH_SCALE_LEGS", "3"))  # per level
     for cpus in (lo, hi) * max(legs, 1):
@@ -229,22 +287,22 @@ def run_scaling(sf_dir: str) -> dict:
         # the host's drift period and stop sampling it
         env.setdefault("BENCH_REPEAT", "2")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "full_neardup"],
+            [sys.executable, os.path.abspath(__file__), "--child", q],
             env=env, capture_output=True, text=True, check=True)
         res = json.loads(proc.stdout.strip().splitlines()[-1])
-        if cpus not in best or (res["throughput"]["full_neardup"]
-                                > best[cpus]["throughput"]["full_neardup"]):
+        if cpus not in best or (res["throughput"][q]
+                                > best[cpus]["throughput"][q]):
             best[cpus] = res
-    thr_lo = best[lo]["throughput"]["full_neardup"]
-    thr_hi = best[hi]["throughput"]["full_neardup"]
+    thr_lo = best[lo]["throughput"][q]
+    thr_hi = best[hi]["throughput"][q]
     eff = (thr_hi / thr_lo) / 4.0
     return {
         "metric": f"scaling efficiency (throughput ratio / cpu ratio, {lo}→{hi} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {f"full_neardup_{lo}cpu_sec": best[lo]["queries"]["full_neardup"],
-                    f"full_neardup_{hi}cpu_sec": best[hi]["queries"]["full_neardup"]},
+        "query": q,
+        "queries": {f"{q}_{lo}cpu_sec": best[lo]["queries"][q],
+                    f"{q}_{hi}cpu_sec": best[hi]["queries"][q]},
         "throughput_rows_per_sec": {f"cpus_{lo}": thr_lo, f"cpus_{hi}": thr_hi},
         "sf": sf_dir,
         "num_cpus": hi,
@@ -253,9 +311,56 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_salting_ab(sf_dir: str) -> dict:
+    """Matched A/B of hot-band salting on the skewed (boilerplate)
+    corpus: arms are INTERLEAVED fresh processes (off, on, off, on,
+    ...), best throughput per arm kept — the only valid comparison
+    shape on this drift-heavy host (see BASELINE.md). Reports both
+    arms' wall/throughput, planted-pair recall per arm, and the
+    on/off throughput ratio."""
+    arms = {"off": "", "on": os.environ.get("BENCH_SALT_HOT", "256")}
+    legs = int(os.environ.get("BENCH_AB_LEGS", "3"))
+    best: dict[str, dict] = {}
+    for arm, hot in [(a, h) for _ in range(max(legs, 1))
+                     for a, h in arms.items()]:
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                   BENCH_PARTITIONS=str(PARTITIONS),
+                   BENCH_HOT_THRESHOLD=hot)
+        env.setdefault("RAY_GRAFT_CPUS", str(NUM_CPUS))
+        env.setdefault("BENCH_REPEAT", "2")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "caption_skewed"],
+            env=env, capture_output=True, text=True, check=True)
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        if arm not in best or (res["throughput"]["caption_skewed"]
+                               > best[arm]["throughput"]["caption_skewed"]):
+            best[arm] = res
+    thr = {a: best[a]["throughput"]["caption_skewed"] for a in arms}
+    return {
+        "metric": "hot-band salting A/B on skewed corpus "
+                  "(salted/unsalted throughput ratio)",
+        "value": round(thr["on"] / thr["off"], 3),
+        "unit": "ratio",
+        "queries": {f"caption_skewed_{a}_sec":
+                    best[a]["queries"]["caption_skewed"] for a in arms},
+        "throughput_rows_per_sec": thr,
+        "recall": {a: best[a]["extras"]["caption_skewed_recall"]
+                   for a in arms},
+        "skew_pct": int(os.environ.get("BENCH_SKEW_PCT", "40")),
+        "max_bucket": int(os.environ.get("BENCH_SKEW_MAX_BUCKET", "4096")),
+        "hot_threshold": arms["on"],
+        "sf": sf_dir,
+        "rows": best["on"]["rows"],
+        "copies": COPIES,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+    elif "--salting-ab" in sys.argv:
+        print(json.dumps(run_salting_ab(SF_DIR)))
     elif "--child" in sys.argv:
         only = sys.argv[sys.argv.index("--child") + 1 :] or None
         print(json.dumps(run(SF_DIR, NUM_CPUS, only)))

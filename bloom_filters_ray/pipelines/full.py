@@ -242,6 +242,17 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
                                       ccfg.threshold, ccfg.max_bucket,
                                       cfg.phash_max_distance),
             batch_format="pyarrow", batch_size=None)
+        if ccfg.checkpoint_dir:
+            # checkpoint the verified-edge stage so a crash during/after
+            # the band shuffle resumes without recomputing it. The phash
+            # tier's params live in FullDedupConfig (outside the ccfg
+            # snapshot _ckpt compares), so they go into the stage NAME —
+            # changed params land in a fresh directory instead of
+            # silently reusing mismatched edges.
+            edges = _ckpt(
+                edges, ccfg,
+                f"full_edges_b{cfg.phash_bits_per_band}"
+                f"_d{cfg.phash_max_distance}")
         if ccfg.cc == "distributed":
             from .dedup import assign_clusters_distributed
 

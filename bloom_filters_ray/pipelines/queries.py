@@ -357,6 +357,42 @@ ORACLES: dict[str, str] = {
                             WHERE o_orderpriority = '1-URGENT')
         GROUP BY 1
     """,
+    "segment_priority_revenue": """
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """,
+    "asof_prev_click": """
+        SELECT l.event_id,
+               r.event_id AS prev_click_id,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') l
+        ASOF JOIN (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "clicks_before_purchase": """
+        SELECT l.event_id,
+               count(r.event_id) AS n_prior_clicks
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') l
+        LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts < l.ts
+        GROUP BY l.event_id
+    """,
+    "top_events_per_user": """
+        SELECT user_id, event_id, rk FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC) AS rk
+            FROM events) WHERE rk <= 3
+    """,
     "events_hopping": """
         WITH e AS (
             SELECT epoch_us(ts) AS tus, event_type,
@@ -880,6 +916,110 @@ def q_urgent_customer_segments(sf_dir: str,
     return out.rename_columns({"count()": "n_customers"})
 
 
+def q_asof_prev_click(sf_dir: str):
+    """Distributed AS-OF join (stages/windows.py: asof_join): each
+    purchase event matched to the same user's most recent click at or
+    before it — tag-union-one-shuffle shape, whole-block vectorized
+    matcher, integer-µs gap. The DuckDB twin is a literal ASOF JOIN.
+    (key, ts) is unique in the events corpus, so matching is
+    deterministic."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.windows import asof_join
+
+    ensure_hash_shuffle()
+
+    def side(event_type: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+            filter=pc.field("event_type") == pc.scalar(event_type))
+
+    out = asof_join(side("purchase"), side("click"))
+    return out.rename_columns({"prev_id": "prev_click_id"})
+
+
+def q_clicks_before_purchase(sf_dir: str):
+    """Distributed RANGE-count join (stages/windows.py:
+    range_count_join): for each purchase event, how many same-user
+    clicks happened in the hour before it ([ts−1h, ts)). One tagged
+    union + one keyed shuffle + a sort/cumsum block kernel — the
+    interval-join pattern without an interval join operator."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.windows import range_count_join
+
+    ensure_hash_shuffle()
+
+    def side(event_type: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+            filter=pc.field("event_type") == pc.scalar(event_type))
+
+    out = range_count_join(side("purchase"), side("click"),
+                           window_us=3600 * 1_000_000)
+    return out.rename_columns({"n_prior": "n_prior_clicks"})
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Top-3 most recent events per user (stages/windows.py:
+    top_n_per_key) — the row_number()-over-partition pattern as one
+    keyed repartition + whole-block vectorized ranking, never a global
+    sort."""
+    import ray.data
+
+    ensure_hash_shuffle()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    from ..stages.windows import top_n_per_key
+
+    return top_n_per_key(ds, n=3)
+
+
+def q_segment_priority_revenue(sf_dir: str):
+    """Three-way distributed join plan (TPC-H Q3 shape): lineitem ⋈
+    orders on orderkey, then ⋈ customer on custkey — both joins
+    hash-shuffled (every side is big at target scale), MATERIALIZED
+    between (two concurrent hash-shuffle operators in one execution
+    serialize, see CLAUDE.md) — then integer-cents revenue per
+    (market segment, order priority)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import cluster_cpus
+
+    ensure_hash_shuffle()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "price_cents": pa.array(
+                np.floor(p * 100 + 0.5).astype(np.int64)),
+        })
+
+    li = li.map_batches(cents, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderpriority"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    p = max(8, cluster_cpus())
+    j1 = li.join(orders, "inner", p,
+                 on=("l_orderkey",), right_on=("o_orderkey",)).materialize()
+    j2 = j1.join(cust, "inner", p,
+                 on=("o_custkey",), right_on=("c_custkey",)).materialize()
+    out = j2.groupby(["c_mktsegment", "o_orderpriority"]) \
+        .aggregate(Count(), Sum("price_cents"))
+    return out.rename_columns({"count()": "n_items",
+                               "sum(price_cents)": "revenue_cents"})
+
+
 def q_events_hopping(sf_dir: str):
     """HOPPING (overlapping) windowed aggregate: 1-hour windows every
     30 minutes — each event lands in exactly size/hop = 2 windows
@@ -1330,6 +1470,10 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "priority_revenue": q_priority_revenue,
     "urgent_customer_segments": q_urgent_customer_segments,
+    "segment_priority_revenue": q_segment_priority_revenue,
+    "asof_prev_click": q_asof_prev_click,
+    "clicks_before_purchase": q_clicks_before_purchase,
+    "top_events_per_user": q_top_events_per_user,
     "xor_members": q_xor_members,
     "cuckoo_members": q_cuckoo_members,
     "ngram_jaccard": q_ngram_jaccard,

@@ -160,6 +160,42 @@ def make_variants(batch: pa.Table, copies: int = 3, with_bytes: bool = True) -> 
         schema=CORPUS_SCHEMA)
 
 
+# ~30-token boilerplate prefix for the skewed-corpus bench: docs that
+# share it have pairwise shingle-Jaccard ≈ 0.6 (BELOW the 0.8 verify
+# threshold — no new true duplicates) but collide in LSH bands at high
+# rate, flooding band buckets. This is the web-corpus skew shape
+# (boilerplate pages / templated captions) hot-band salting exists for.
+BOILERPLATE = ("free high resolution stock photo download available now "
+               "in our curated gallery collection browse thousands of "
+               "similar images updated daily for creative projects and "
+               "commercial use worldwide no attribution required instant "
+               "access unlimited downloads")
+
+
+def make_boiler_skew_fn(pct: int = 20, text_col: str = "caption"):
+    """map_batches fn: prefix the captions of ``pct``% of docs (chosen
+    by ``doc_id % 100 < pct`` — content-derived, partition-invariant)
+    with BOILERPLATE. Applied AFTER variant expansion, so a doc's
+    exact-dup variants stay exact dups and its drop-last-word variant
+    stays a true near-dup (shared prefix raises their Jaccard); only
+    CROSS-doc boilerplate pairs are planted below the verify threshold
+    (hot candidate buckets that verification rejects)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cap = batch[text_col]
+        if isinstance(cap, pa.ChunkedArray):
+            cap = cap.combine_chunks()
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array((did % 100) < pct)
+        pre = pc.binary_join_element_wise(
+            pa.array([BOILERPLATE] * len(cap)), cap, " ")
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, pc.if_else(mask, pre, cap))
+
+    return fn
+
+
 def corpus_dataset(sf_dir: str, copies: int = 3, with_bytes: bool = True,
                    parallelism: int | None = None):
     """Lazy Ray Dataset of the synthetic corpus for *sf_dir*.

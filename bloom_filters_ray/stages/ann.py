@@ -142,6 +142,33 @@ def make_block_topk_fn(query_ref, k: int, id_col: str = "vec_id",
     return fn
 
 
+def merge_topk_partials(partials, k: int) -> pa.Table:
+    """Driver-side merge of block-local (query_id, neighbor_id, sim)
+    top-k partials — tiny by construction (≤ k rows per query per
+    block): global (sim desc, neighbor_id asc) order within each
+    query, rank 1..k. The single shared tie-break for every ANN
+    variant (brute/IVF/PQ/IVF-PQ/rerank)."""
+    tbl = partials if isinstance(partials, pa.Table) else pa.concat_tables(
+        [b for b in partials.iter_batches(batch_size=1 << 16,
+                                          batch_format="pyarrow")])
+    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    si = tbl["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ni, -si, qi))
+    qi, ni = qi[order], ni[order]
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(qi)), 0))
+    rank = np.arange(len(qi)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qi[keep]),
+        "neighbor_id": pa.array(ni[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
+
+
 def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      exclude_self: bool = True) -> pa.Table:
@@ -155,24 +182,7 @@ def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
     partials = ds.map_batches(
         make_block_topk_fn(ref, k, id_col, emb_col, exclude_self),
         batch_format="pyarrow")
-    tbl = pa.concat_tables([b for b in partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")])
-    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
-    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
-    si = tbl["sim"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ni, -si, qi))
-    qi, ni, si = qi[order], ni[order], si[order]
-    # rank within query, keep top k
-    first = np.ones(len(qi), dtype=bool)
-    first[1:] = qi[1:] != qi[:-1]
-    group_start = np.maximum.accumulate(np.where(first, np.arange(len(qi)), 0))
-    rank = np.arange(len(qi)) - group_start + 1
-    keep = rank <= k
-    return pa.table({
-        "query_id": pa.array(qi[keep]),
-        "neighbor_id": pa.array(ni[keep]),
-        "rank": pa.array(rank[keep].astype(np.int64)),
-    })
+    return merge_topk_partials(partials, k)
 
 
 def make_projection_code_fn(dim: int, id_col: str = "vec_id",
@@ -473,24 +483,7 @@ def pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
         make_pq_adc_topk_fn(book_ref, query_ref, k, id_col,
                             exclude_self),
         batch_format="pyarrow")
-    tbl = pa.concat_tables([b for b in partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")])
-    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
-    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
-    si = tbl["sim"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ni, -si, qi))
-    qi, ni, si = qi[order], ni[order], si[order]
-    first = np.ones(len(qi), dtype=bool)
-    first[1:] = qi[1:] != qi[:-1]
-    group_start = np.maximum.accumulate(
-        np.where(first, np.arange(len(qi)), 0))
-    rank = np.arange(len(qi)) - group_start + 1
-    keep = rank <= k
-    return pa.table({
-        "query_id": pa.array(qi[keep]),
-        "neighbor_id": pa.array(ni[keep]),
-        "rank": pa.array(rank[keep].astype(np.int64)),
-    })
+    return merge_topk_partials(partials, k)
 
 
 def _lloyd(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
@@ -684,24 +677,7 @@ def ivf_pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
         make_ivf_pq_probe_fn(cref, bref, query_ref, k, nprobe, id_col,
                              exclude_self),
         batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables([b for b in partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")])
-    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
-    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
-    si = tbl["sim"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ni, -si, qi))
-    qi, ni, si = qi[order], ni[order], si[order]
-    first = np.ones(len(qi), dtype=bool)
-    first[1:] = qi[1:] != qi[:-1]
-    group_start = np.maximum.accumulate(
-        np.where(first, np.arange(len(qi)), 0))
-    rank = np.arange(len(qi)) - group_start + 1
-    keep = rank <= k
-    return pa.table({
-        "query_id": pa.array(qi[keep]),
-        "neighbor_id": pa.array(ni[keep]),
-        "rank": pa.array(rank[keep].astype(np.int64)),
-    })
+    return merge_topk_partials(partials, k)
 
 
 def pq_topk_reranked(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
@@ -763,24 +739,7 @@ def pq_topk_reranked(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
             names=["query_id", "neighbor_id", "sim"])
 
     partials = ds.map_batches(rerank, batch_format="pyarrow")
-    tbl = pa.concat_tables([b for b in partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")])
-    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
-    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
-    si = tbl["sim"].to_numpy(zero_copy_only=False)
-    order2 = np.lexsort((ni, -si, qi))
-    qi, ni, si = qi[order2], ni[order2], si[order2]
-    first = np.ones(len(qi), dtype=bool)
-    first[1:] = qi[1:] != qi[:-1]
-    group_start = np.maximum.accumulate(
-        np.where(first, np.arange(len(qi)), 0))
-    rank = np.arange(len(qi)) - group_start + 1
-    keep = rank <= k
-    return pa.table({
-        "query_id": pa.array(qi[keep]),
-        "neighbor_id": pa.array(ni[keep]),
-        "rank": pa.array(rank[keep].astype(np.int64)),
-    })
+    return merge_topk_partials(partials, k)
 
 
 def ivf_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
@@ -811,24 +770,7 @@ def ivf_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
         make_ivf_probe_fn(cref, qref, k, nprobe, id_col, emb_col,
                           exclude_self=exclude_self),
         batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(list(partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")))
-    qi = tbl["query_id"].to_numpy(zero_copy_only=False)
-    ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
-    si = tbl["sim"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ni, -si, qi))
-    qi, ni, si = qi[order], ni[order], si[order]
-    first = np.ones(len(qi), dtype=bool)
-    first[1:] = qi[1:] != qi[:-1]
-    group_start = np.maximum.accumulate(
-        np.where(first, np.arange(len(qi)), 0))
-    rank = np.arange(len(qi)) - group_start + 1
-    keep = rank <= k
-    return pa.table({
-        "query_id": pa.array(qi[keep]),
-        "neighbor_id": pa.array(ni[keep]),
-        "rank": pa.array(rank[keep].astype(np.int64)),
-    })
+    return merge_topk_partials(partials, k)
 
 
 def make_norm_vec_binary_fn(id_col: str = "vec_id",

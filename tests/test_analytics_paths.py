@@ -93,6 +93,112 @@ class TestIBLTAddManyBatched:
         assert all(x.equals(y) for x, y in zip(a._elements, b._elements))
 
 
+class TestAsofTopnBlocks:
+    """Block-level contracts of the as-of matcher and per-key ranker
+    (the distributed paths are hard-oracled vs DuckDB ASOF JOIN /
+    row_number at sf0.01)."""
+
+    def _tagged(self, rows):
+        u, t, e, s = zip(*rows)
+        return pa.table({
+            "user_id": pa.array(u, type=pa.int64()),
+            "ts": pa.array(t, type=pa.timestamp("us")),
+            "event_id": pa.array(e, type=pa.int64()),
+            "side": pa.array(s, type=pa.int8()),
+        })
+
+    def test_asof_matches_brute_force(self):
+        from bloom_filters_ray.stages.windows import make_asof_block_fn
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for u in range(5):
+            ts = rng.choice(10_000, size=40, replace=False)
+            for i, t in enumerate(ts):
+                rows.append((u, int(t), u * 1000 + i, int(i % 3 == 0)))
+        out = make_asof_block_fn()(self._tagged(rows))
+        got = {(int(e), int(p), int(g)) for e, p, g in
+               zip(out["event_id"].to_pylist(), out["prev_id"].to_pylist(),
+                   out["gap_us"].to_pylist())}
+        want = set()
+        for u, t, e, s in rows:
+            if s != 1:
+                continue
+            cands = [(tr, er) for ur, tr, er, sr in rows
+                     if sr == 0 and ur == u and tr <= t]
+            if cands:
+                tr, er = max(cands)
+                want.add((e, er, t - tr))
+        assert got == want and len(want) > 0
+
+    def test_asof_equal_ts_matches(self):
+        from bloom_filters_ray.stages.windows import make_asof_block_fn
+
+        out = make_asof_block_fn()(self._tagged(
+            [(1, 100, 7, 0), (1, 100, 8, 1), (1, 99, 9, 1)]))
+        # l.ts >= r.ts: the ts-equal left row matches; the earlier one
+        # has no preceding right row and drops (inner as-of)
+        assert out.to_pydict() == {
+            "event_id": [8], "prev_id": [7], "gap_us": [0]}
+
+    def test_range_count_matches_brute_force(self):
+        from bloom_filters_ray.stages.windows import \
+            make_range_count_block_fn
+
+        rng = np.random.default_rng(23)
+        rows = []
+        for u in range(6):
+            ts = rng.choice(500, size=60, replace=False)
+            for i, t in enumerate(ts):
+                rows.append((u, int(t), u * 1000 + i, int(i % 2)))
+        out = make_range_count_block_fn(window_us=50)(self._tagged(rows))
+        got = dict(zip(out["event_id"].to_pylist(),
+                       out["n_prior"].to_pylist()))
+        want = {}
+        for u, t, e, s in rows:
+            if s == 1:
+                want[e] = sum(1 for ur, tr, _, sr in rows
+                              if sr == 0 and ur == u
+                              and t - 50 <= tr < t)
+        assert got == want and sum(want.values()) > 0
+
+    def test_range_count_boundaries(self):
+        from bloom_filters_ray.stages.windows import \
+            make_range_count_block_fn
+
+        # rights at exactly ts-window (in) and ts (out)
+        out = make_range_count_block_fn(window_us=10)(self._tagged(
+            [(1, 90, 1, 0), (1, 100, 2, 0), (1, 100, 3, 1),
+             (1, 89, 4, 0)]))
+        assert out.to_pydict() == {"event_id": [3], "n_prior": [1]}
+
+    def test_topn_ranks(self):
+        from bloom_filters_ray.stages.windows import make_topn_block_fn
+
+        tbl = pa.table({
+            "user_id": pa.array([2, 2, 2, 2, 5], type=pa.int64()),
+            "ts": pa.array([10, 40, 20, 30, 1], type=pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        })
+        out = make_topn_block_fn(3)(tbl).to_pydict()
+        assert out == {"user_id": [2, 2, 2, 5],
+                       "event_id": [2, 4, 3, 5], "rk": [1, 2, 3, 1]}
+
+    def test_empty_blocks(self):
+        from bloom_filters_ray.stages.windows import (make_asof_block_fn,
+                                                      make_topn_block_fn)
+
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "event_id": pa.array([], type=pa.int64()),
+            "side": pa.array([], type=pa.int8()),
+        })
+        assert len(make_asof_block_fn()(empty)) == 0
+        assert len(make_topn_block_fn(3)(
+            empty.select(["user_id", "ts", "event_id"]))) == 0
+
+
 class TestCCNullGuards:
     def test_null_edge_ids_raise(self):
         from bloom_filters_ray.stages.cc import _id_hash

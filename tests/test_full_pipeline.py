@@ -141,10 +141,13 @@ class TestFullCheckpointResume:
                           .reset_index(drop=True))
         exact_dir = tmp_path / "full_exact"
         sigs_dir = tmp_path / "full_sigs"
+        edges_dir = tmp_path / "full_edges_b8_d4"  # merged band tier
         assert (exact_dir / "_SUCCESS").exists()
         assert (sigs_dir / "_SUCCESS").exists()
+        assert (edges_dir / "_SUCCESS").exists()
         assert (exact_dir / "_LEDGER.json").exists()  # IBLT ledger
-        mtimes = {p: os.path.getmtime(p) for d in (exact_dir, sigs_dir)
+        mtimes = {p: os.path.getmtime(p)
+                  for d in (exact_dir, sigs_dir, edges_dir)
                   for p in d.iterdir()}
 
         ds2 = corpus_dataset(SF, with_bytes=True).select_columns(
@@ -156,5 +159,5 @@ class TestFullCheckpointResume:
         assert s1 == s2
         # checkpoint files untouched -> stages were read back, not rerun
         assert mtimes == {p: os.path.getmtime(p)
-                          for d in (exact_dir, sigs_dir)
+                          for d in (exact_dir, sigs_dir, edges_dir)
                           for p in d.iterdir()}
