@@ -168,6 +168,21 @@ ORACLES: dict[str, str] = {
         WITH {CORPUS_SQL}
         SELECT count(DISTINCT caption) AS n_unique FROM corpus
     """,
+    "token_quantiles": f"""
+        WITH {CORPUS_SQL},
+        tok AS (SELECT CAST(CASE WHEN trim(caption) = '' THEN 0
+                     ELSE length(regexp_split_to_array(trim(caption), ' +'))
+                     END AS BIGINT) AS v
+                FROM corpus),
+        h AS (SELECT v, count(*) AS c FROM tok GROUP BY 1),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM h),
+        n AS (SELECT count(*) AS n FROM tok),
+        p AS (SELECT unnest([25, 50, 75, 95, 99]) AS pct)
+        SELECT CAST(pct AS BIGINT) AS pct, CAST(min(v) AS BIGINT) AS q
+        FROM p, cum, n
+        WHERE cc >= (pct * n + 99) // 100
+        GROUP BY pct
+    """,
     "topk_sketch": f"""
         WITH {CORPUS_SQL},
         counts AS (SELECT caption AS value, count(*) AS frequency
@@ -1220,6 +1235,20 @@ def q_topk_sketch(sf_dir: str):
     })
 
 
+def q_token_quantiles(sf_dir: str):
+    """Exact distributed percentiles (p25/50/75/95/99) of the
+    per-caption whitespace token count — histogram reduction
+    (stages/quantiles.py): only (distinct_count, freq) rows shuffle,
+    the driver scans a cumsum. Quantile definition is integer-exact
+    and mirrored verbatim by the SQL twin."""
+    from ..stages.quantiles import exact_int_quantiles
+
+    ds = _caption_corpus(sf_dir).select_columns(["image_id", "caption"]) \
+        .map_batches(make_token_stats_fn(), batch_format="pyarrow") \
+        .select_columns(["n_tokens"])
+    return exact_int_quantiles(ds, "n_tokens", [25, 50, 75, 95, 99])
+
+
 def q_seenset_mark(sf_dir: str):
     """Streaming seen-set pruning: sharded ScalableBloom actors mark
     the first arrival of each caption (is_new). Winner identity is
@@ -1351,6 +1380,29 @@ def q_ann_pq(sf_dir: str):
                    n_codes=256)
 
 
+def q_ann_opq(sf_dir: str):
+    """OPQ approximate cosine top-10 (stages/ann.py: opq_topk — Ge et
+    al., CVPR 2013 non-parametric variant): flat PQ behind a learned
+    orthogonal rotation that rebalances subspace variance; rotation is
+    a broadcast (d, d) matrix applied in the encode + ADC stages, so
+    the scan cost is unchanged. Approximate by design (rows-only);
+    opq_iters=0 ≡ flat PQ is pinned bit-for-bit in
+    tests/test_simhash_ann.py::TestPQ."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import embedding_matrix, opq_topk
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(8)
+    return opq_topk(ds, qt["vec_id"].to_numpy(), Q, k=10, m=16,
+                    n_codes=256, opq_iters=6)
+
+
 def q_ann_ivf_pq(sf_dir: str):
     """IVFADC approximate cosine top-10 (Jégou et al. 2011): coarse
     centroids + residual-PQ codebooks trained on a sample, corpus
@@ -1478,11 +1530,13 @@ QUERIES = {
     "cuckoo_members": q_cuckoo_members,
     "ngram_jaccard": q_ngram_jaccard,
     "topk_sketch": q_topk_sketch,
+    "token_quantiles": q_token_quantiles,
     "seenset_mark": q_seenset_mark,
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_opq": q_ann_opq,
     "ann_ivf_pq": q_ann_ivf_pq,
     "ann_pq_rerank": q_ann_pq_rerank,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,

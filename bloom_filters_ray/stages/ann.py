@@ -344,26 +344,14 @@ def make_ivf_probe_fn(centroid_ref, query_ref, k: int, nprobe: int,
     return fn
 
 
-def train_pq_codebooks(ds, m: int = 8, n_codes: int = 256,
-                       dim: int | None = None,
-                       emb_col: str = "embedding",
-                       sample_rows: int = 65536, iters: int = 10,
-                       seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011): the
-    sample's L2-normalized rows are split into *m* contiguous
-    subspaces and Lloyd k-means runs per subspace on the driver —
-    training touches ≤ sample_rows rows, never the corpus. Returns a
-    (m, n_codes, d/m) float64 codebook tensor."""
-    sample = ds.limit(sample_rows)
-    tbl = pa.concat_tables(list(sample.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")))
-    X = normalize_rows(embedding_matrix(tbl[emb_col], dim))
+def _fit_subspace_books(X: np.ndarray, m: int, n_codes: int, iters: int,
+                        rng) -> np.ndarray:
+    """Per-subspace Lloyd k-means over the (already rotated/normalized)
+    sample matrix → (m, n_codes, d/m) codebook tensor."""
     n, d = X.shape
     assert d % m == 0, (d, m)
     sub = d // m
     ks = min(n_codes, n)
-    rng = np.random.default_rng(seed & ((1 << 63) - 1))
     books = np.empty((m, n_codes, sub), dtype=np.float64)
     for j in range(m):
         Xj = X[:, j * sub : (j + 1) * sub]
@@ -381,19 +369,89 @@ def train_pq_codebooks(ds, m: int = 8, n_codes: int = 256,
     return books
 
 
+def _sample_matrix(ds, emb_col: str, dim: int | None,
+                   sample_rows: int) -> np.ndarray:
+    sample = ds.limit(sample_rows)
+    tbl = pa.concat_tables(list(sample.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")))
+    return normalize_rows(embedding_matrix(tbl[emb_col], dim))
+
+
+def train_pq_codebooks(ds, m: int = 8, n_codes: int = 256,
+                       dim: int | None = None,
+                       emb_col: str = "embedding",
+                       sample_rows: int = 65536, iters: int = 10,
+                       seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    sample's L2-normalized rows are split into *m* contiguous
+    subspaces and Lloyd k-means runs per subspace on the driver —
+    training touches ≤ sample_rows rows, never the corpus. Returns a
+    (m, n_codes, d/m) float64 codebook tensor."""
+    X = _sample_matrix(ds, emb_col, dim, sample_rows)
+    rng = np.random.default_rng(seed & ((1 << 63) - 1))
+    return _fit_subspace_books(X, m, n_codes, iters, rng)
+
+
+def _pq_reconstruct(Z: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode-then-decode Z against the codebooks (training helper)."""
+    m, _, sub = books.shape
+    out = np.empty_like(Z)
+    for j in range(m):
+        Zj = Z[:, j * sub : (j + 1) * sub]
+        d2 = (books[j] * books[j]).sum(axis=1)[None, :] \
+            - 2.0 * (Zj @ books[j].T)
+        out[:, j * sub : (j + 1) * sub] = books[j][np.argmin(d2, axis=1)]
+    return out
+
+
+def train_opq_codebooks(ds, m: int = 8, n_codes: int = 256,
+                        dim: int | None = None,
+                        emb_col: str = "embedding",
+                        sample_rows: int = 65536, iters: int = 10,
+                        opq_iters: int = 8,
+                        seed: int = DEFAULT_SEED):
+    """OPQ: PQ with a learned orthogonal rotation (Ge, He, Ke, Sun,
+    "Optimized Product Quantization", CVPR 2013, non-parametric
+    variant): alternate (fit codebooks on X·R) with (Procrustes update
+    R = U·Vᵀ from svd(Xᵀ·X̂) minimizing ‖X·R − X̂‖_F over orthogonal
+    R). Rotating before the subspace split rebalances variance across
+    subspaces, cutting quantization error where coordinates are
+    correlated; R is orthogonal so inner products are preserved —
+    q·x = (q·R)·(x·R) — and the whole ADC machinery is reused
+    unchanged on rotated vectors. Returns (R (d, d), books
+    (m, n_codes, d/m)); opq_iters=0 yields R = I and exact flat-PQ
+    behavior (pinned in tests)."""
+    X = _sample_matrix(ds, emb_col, dim, sample_rows)
+    d = X.shape[1]
+    rng = np.random.default_rng(seed & ((1 << 63) - 1))
+    R = np.eye(d)
+    for _ in range(max(opq_iters, 0)):
+        Z = X @ R
+        books = _fit_subspace_books(Z, m, n_codes, max(iters // 2, 2), rng)
+        Zhat = _pq_reconstruct(Z, books)
+        U, _, Vt = np.linalg.svd(X.T @ Zhat)
+        R = U @ Vt
+    books = _fit_subspace_books(X @ R, m, n_codes, iters, rng)
+    return R, books
+
+
 def make_pq_encode_fn(book_ref, id_col: str = "vec_id",
                       emb_col: str = "embedding",
-                      dim: int | None = None):
+                      dim: int | None = None, rot_ref=None):
     """map_batches fn: (id, embedding) → (id, pq_code binary[m]) —
     one byte per subspace (nearest codebook entry by L2), 8 bytes/row
     at m=8 instead of 8·d — the representation that lets a 10^12-row
-    corpus sit in RAM-scale storage for ANN scans."""
+    corpus sit in RAM-scale storage for ANN scans. *rot_ref* (OPQ):
+    broadcast orthogonal rotation applied after normalization."""
     from .sketch_aggs import _plain_fetch
 
     def fn(batch: pa.Table) -> pa.Table:
         B = _plain_fetch(book_ref)  # (m, ks, sub)
         m, ks, sub = B.shape
         E = normalize_rows(embedding_matrix(batch[emb_col], dim))
+        if rot_ref is not None:
+            E = E @ _plain_fetch(rot_ref)
         n = len(E)
         codes = np.empty((n, m), dtype=np.uint8)
         for j in range(m):
@@ -414,18 +472,21 @@ def make_pq_encode_fn(book_ref, id_col: str = "vec_id",
 
 def make_pq_adc_topk_fn(book_ref, query_ref, k: int,
                         id_col: str = "vec_id",
-                        exclude_self: bool = True):
+                        exclude_self: bool = True, rot_ref=None):
     """Whole-block ADC (asymmetric distance computation) scan over PQ
     codes: per block, ONE (q, m, ks) inner-product table against the
     codebooks, then the approximate similarity of every row is m
     byte-indexed gathers — no per-dimension float math against the
     corpus. Emits block-local top-k partials like the brute-force
-    scanner."""
+    scanner. *rot_ref* (OPQ): queries are rotated by the same
+    orthogonal R the codes were encoded under (q·x = (q·R)·(x·R))."""
     from .sketch_aggs import _plain_fetch
 
     def fn(batch: pa.Table) -> pa.Table:
         B = _plain_fetch(book_ref)          # (m, ks, sub)
         q_ids, Q = _plain_fetch(query_ref)  # Q normalized (q, d)
+        if rot_ref is not None:
+            Q = Q @ _plain_fetch(rot_ref)
         q_id_arr = np.asarray(q_ids, dtype=np.int64)
         m, ks, sub = B.shape
         codes = sig_matrix(batch, "pq_code", dtype="u1")  # (n, m)
@@ -482,6 +543,35 @@ def pq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
     partials = codes.map_batches(
         make_pq_adc_topk_fn(book_ref, query_ref, k, id_col,
                             exclude_self),
+        batch_format="pyarrow")
+    return merge_topk_partials(partials, k)
+
+
+def opq_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int,
+             m: int = 8, n_codes: int = 256, opq_iters: int = 8,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             exclude_self: bool = True,
+             seed: int = DEFAULT_SEED) -> pa.Table:
+    """OPQ approximate cosine top-k: flat PQ with the learned
+    orthogonal pre-rotation (train_opq_codebooks). Identical pipeline
+    shape to ``pq_topk`` — rotation is a broadcast (d, d) matrix
+    applied inside the encode and ADC stages; with opq_iters=0 the
+    result is bit-equal to flat PQ."""
+    import ray
+
+    R, books = train_opq_codebooks(ds, m=m, n_codes=n_codes,
+                                   emb_col=emb_col, opq_iters=opq_iters,
+                                   seed=seed)
+    book_ref = ray.put(books)
+    rot_ref = ray.put(R)
+    codes = ds.map_batches(
+        make_pq_encode_fn(book_ref, id_col, emb_col, rot_ref=rot_ref),
+        batch_format="pyarrow")
+    query_ref = ray.put((list(np.asarray(query_ids, dtype=np.int64)),
+                         normalize_rows(np.asarray(Q, dtype=np.float64))))
+    partials = codes.map_batches(
+        make_pq_adc_topk_fn(book_ref, query_ref, k, id_col,
+                            exclude_self, rot_ref=rot_ref),
         batch_format="pyarrow")
     return merge_topk_partials(partials, k)
 

@@ -260,6 +260,10 @@ def _plain_fetch(ref):
     if key not in _REF_CACHE:
         import ray
 
-        _REF_CACHE.clear()
+        # bounded multi-slot cache: stages that fetch SEVERAL broadcast
+        # refs per batch (PQ: codebooks + queries [+ rotation]) must not
+        # evict each other every call
+        if len(_REF_CACHE) >= 16:
+            _REF_CACHE.clear()
         _REF_CACHE[key] = ray.get(ref)
     return _REF_CACHE[key]

@@ -199,6 +199,37 @@ class TestAsofTopnBlocks:
             empty.select(["user_id", "ts", "event_id"]))) == 0
 
 
+class TestExactIntQuantiles:
+    def test_matches_definition_bruteforce(self, ray_session):
+        import ray.data
+
+        from bloom_filters_ray.stages.quantiles import exact_int_quantiles
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 40, size=5000).tolist()
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+        out = exact_int_quantiles(ds, "v", [1, 25, 50, 75, 99, 100])
+        got = dict(zip(out["pct"].to_pylist(), out["q"].to_pylist()))
+        s = sorted(vals)
+        n = len(s)
+        for p in (1, 25, 50, 75, 99, 100):
+            k = (p * n + 99) // 100
+            assert got[p] == s[k - 1], p
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from bloom_filters_ray.stages.quantiles import exact_int_quantiles
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array([], type=pa.int64())}))
+        assert len(exact_int_quantiles(ds, "v", [50])) == 0
+
+
 class TestCCNullGuards:
     def test_null_edge_ids_raise(self):
         from bloom_filters_ray.stages.cc import _id_hash

@@ -436,6 +436,50 @@ class TestPQ:
         again = pq_topk(ds, qi, Q, k=10, m=16, n_codes=256).to_pandas()
         assert r16_df.equals(again)
 
+    def test_opq_identity_equals_pq_and_recall(self, ray_session):
+        """OPQ invariants: (a) the learned rotation is orthogonal;
+        (b) opq_iters=0 (R = I) reproduces flat PQ bit-for-bit;
+        (c) the rotated quantizer's recall stays in the flat-PQ band
+        (these embeddings are near-isotropic, so OPQ's win is bounded
+        — the contract here is 'no harm + same machinery')."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloom_filters_ray.stages.ann import (brute_force_topk,
+                                                  embedding_matrix,
+                                                  opq_topk, pq_topk,
+                                                  train_opq_codebooks)
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        sf = "/root/testdata/sf0.001"
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           filters=[("vec_id", "<", 5)])
+        Q = embedding_matrix(qt["embedding"])
+        qi = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet") \
+            .repartition(8)
+        R, books = train_opq_codebooks(ds, m=16, n_codes=256, opq_iters=4)
+        assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+        flat = pq_topk(ds, qi, Q, k=10, m=16, n_codes=256).to_pandas()
+        ident = opq_topk(ds, qi, Q, k=10, m=16, n_codes=256,
+                         opq_iters=0).to_pandas()
+        assert flat.equals(ident)
+        exact = brute_force_topk(ds, qi, Q, k=10).to_pandas()
+
+        def recall(got):
+            return float(np.mean(
+                [len(set(exact[exact.query_id == q].neighbor_id)
+                     & set(got[got.query_id == q].neighbor_id)) / 10
+                 for q in qi]))
+
+        r_pq = recall(flat)
+        r_opq = recall(opq_topk(ds, qi, Q, k=10, m=16, n_codes=256,
+                                opq_iters=4).to_pandas())
+        assert r_opq >= r_pq - 0.1, (r_opq, r_pq)
+        assert r_opq >= 0.7, r_opq
+
     def test_codes_are_m_bytes(self, ray_session):
         import ray
         import ray.data
