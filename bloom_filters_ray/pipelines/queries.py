@@ -372,6 +372,13 @@ ORACLES: dict[str, str] = {
                             WHERE o_orderpriority = '1-URGENT')
         GROUP BY 1
     """,
+    "never_urgent_segments": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
     "segment_priority_revenue": """
         SELECT c_mktsegment, o_orderpriority, count(*) AS n_items,
                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
@@ -929,6 +936,48 @@ def q_urgent_customer_segments(sf_dir: str,
 
     out = pruned.groupby("c_mktsegment").count()
     return out.rename_columns({"count()": "n_customers"})
+
+
+def q_never_urgent_segments(sf_dir: str):
+    """Distributed LEFT ANTI join: customers with NO urgent order,
+    counted per market segment — left_outer hash join against the
+    distinct urgent custkeys, keep the null (unmatched) side. The
+    anti-join is the dedup-adjacent plan shape (new-rows-only
+    filtering) that Bloom filters canNOT serve alone (a sketch has
+    false positives, so 'definitely absent' needs the exact join);
+    it is the exact complement of q_urgent_customer_segments'
+    semi-join (per-segment counts sum to the customer totals).
+    Returned as a schema-stable Arrow table so an empty result keeps
+    its columns."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..util import cluster_cpus
+
+    ensure_hash_shuffle()
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == pc.scalar("1-URGENT")) \
+        .groupby("o_custkey").count().materialize()
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(okeys, "left_outer", max(8, cluster_cpus()),
+                       on=("c_custkey",), right_on=("o_custkey",)) \
+        .materialize()
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["count()"])) \
+            .select(["c_mktsegment"])
+
+    out = joined.map_batches(keep_unmatched, batch_format="pyarrow") \
+        .groupby("c_mktsegment").count() \
+        .rename_columns({"count()": "n_customers"})
+    schema = pa.schema([("c_mktsegment", pa.string()),
+                        ("n_customers", pa.int64())])
+    parts = [b.cast(schema) for b in out.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")]
+    return pa.concat_tables(parts) if parts else schema.empty_table()
 
 
 def q_asof_prev_click(sf_dir: str):
@@ -1522,6 +1571,7 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "priority_revenue": q_priority_revenue,
     "urgent_customer_segments": q_urgent_customer_segments,
+    "never_urgent_segments": q_never_urgent_segments,
     "segment_priority_revenue": q_segment_priority_revenue,
     "asof_prev_click": q_asof_prev_click,
     "clicks_before_purchase": q_clicks_before_purchase,
