@@ -201,6 +201,10 @@ ORACLES: dict[str, str] = {
         FROM corpus
     """,
     "lang_counts": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+    "lang_distinct_docs": """
+        SELECT lang, count(DISTINCT text) AS n_unique
+        FROM documents GROUP BY lang
+    """,
     "bpe_token_stats": f"""
         WITH {CORPUS_SQL}
         SELECT image_id,
@@ -938,6 +942,44 @@ def q_urgent_customer_segments(sf_dir: str,
     return out.rename_columns({"count()": "n_customers"})
 
 
+def q_lang_distinct_docs(sf_dir: str):
+    """Exact distinct-text count per language: two-level distinct —
+    groupby (lang, text) dedups, then a per-lang count. The two keyed
+    shuffles are MATERIALIZED apart (two keyed repartitions fused into
+    one lineage serialize behind one worker — see CLAUDE.md)."""
+    ensure_hash_shuffle()
+    distinct = _docs(sf_dir, columns=["lang", "text"]) \
+        .groupby(["lang", "text"]).count().materialize()
+    out = distinct.select_columns(["lang"]).groupby("lang").count()
+    return out.rename_columns({"count()": "n_unique"})
+
+
+def q_lang_distinct_hll(sf_dir: str):
+    """Sketch-PER-GROUP: one HyperLogLog per language via
+    groupby(lang).aggregate(HLLAgg) — per-group register sets build as
+    mergeable partials inside the hash shuffle, then a tiny map
+    decodes each group's estimate. At 100 TB this is THE shape for
+    per-slice cardinality diagnostics (fixed sketch state per group,
+    never the values). Approximate (rows-only); the exact twin is
+    q_lang_distinct_docs★, and the ≤3σ accuracy contract is pinned in
+    tests."""
+    import pickle
+
+    from ..stages.sketch_aggs import HLLAgg
+
+    ensure_hash_shuffle()
+    agg = _docs(sf_dir, columns=["lang", "text"]) \
+        .groupby("lang").aggregate(HLLAgg(on="text"))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ests = [int(round(pickle.loads(b).count()))
+                for b in batch["hll"].to_pylist()]
+        return pa.table({"lang": batch["lang"],
+                         "n_unique_est": pa.array(ests, type=pa.int64())})
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def q_never_urgent_segments(sf_dir: str):
     """Distributed LEFT ANTI join: customers with NO urgent order,
     counted per market segment — left_outer hash join against the
@@ -1550,6 +1592,8 @@ QUERIES = {
     "distinct_captions": q_distinct_captions,
     "token_stats": q_token_stats,
     "lang_counts": q_lang_counts,
+    "lang_distinct_docs": q_lang_distinct_docs,
+    "lang_distinct_hll": q_lang_distinct_hll,
     "bpe_token_stats": q_bpe_token_stats,
     "bloom_members": q_bloom_members,
     "neardup_clusters": q_neardup_clusters,

@@ -230,6 +230,25 @@ class TestExactIntQuantiles:
         assert len(exact_int_quantiles(ds, "v", [50])) == 0
 
 
+class TestGroupedHLL:
+    def test_per_group_estimates_track_exact(self, ray_session):
+        """Sketch-per-group: groupby(lang).aggregate(HLLAgg) estimates
+        stay within the HLL error envelope of the exact per-group
+        distinct counts (small groups sit in the linear-counting
+        regime, so the tolerance is comfortably met)."""
+        from bloom_filters_ray.pipelines.queries import (
+            q_lang_distinct_docs, q_lang_distinct_hll)
+
+        exact = q_lang_distinct_docs(SF).to_pandas() \
+            .set_index("lang")["n_unique"]
+        est = q_lang_distinct_hll(SF).to_pandas() \
+            .set_index("lang")["n_unique_est"]
+        assert set(exact.index) == set(est.index)
+        for lang in exact.index:
+            rel = abs(est[lang] - exact[lang]) / max(exact[lang], 1)
+            assert rel <= 0.05, (lang, est[lang], exact[lang])
+
+
 class TestCCNullGuards:
     def test_null_edge_ids_raise(self):
         from bloom_filters_ray.stages.cc import _id_hash
