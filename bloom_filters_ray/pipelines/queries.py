@@ -205,6 +205,24 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(DISTINCT text) AS n_unique
         FROM documents GROUP BY lang
     """,
+    "lang_token_quantiles": """
+        WITH tok AS (
+            SELECT lang, CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), ' +'))
+                 END AS BIGINT) AS v
+            FROM documents),
+        h AS (SELECT lang, v, count(*) AS c FROM tok GROUP BY 1, 2),
+        cum AS (SELECT lang, v,
+                       sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc
+                FROM h),
+        n AS (SELECT lang, count(*) AS cnt FROM tok GROUP BY 1),
+        p AS (SELECT unnest([50, 90, 99]) AS pct)
+        SELECT cum.lang, CAST(pct AS BIGINT) AS pct,
+               CAST(min(v) AS BIGINT) AS q
+        FROM p CROSS JOIN cum JOIN n ON cum.lang = n.lang
+        WHERE cc >= (pct * cnt + 99) // 100
+        GROUP BY cum.lang, pct
+    """,
     "bpe_token_stats": f"""
         WITH {CORPUS_SQL}
         SELECT image_id,
@@ -980,6 +998,22 @@ def q_lang_distinct_hll(sf_dir: str):
     return agg.map_batches(decode, batch_format="pyarrow")
 
 
+def q_lang_token_quantiles(sf_dir: str):
+    """Per-GROUP exact percentiles: p50/p90/p99 of the per-document
+    whitespace token count, per language (stages/quantiles.py:
+    exact_int_quantiles_by — one (lang, n_tokens, count) histogram
+    shuffle, vectorized driver scan). Same integer-exact threshold
+    definition as token_quantiles★, partitioned by group in both the
+    engine and the SQL twin."""
+    from ..stages.quantiles import exact_int_quantiles_by
+
+    ds = _docs(sf_dir, columns=["lang", "text"]) \
+        .map_batches(make_token_stats_fn(id_col="lang", text_col="text"),
+                     batch_format="pyarrow") \
+        .select_columns(["lang", "n_tokens"])
+    return exact_int_quantiles_by(ds, "lang", "n_tokens", [50, 90, 99])
+
+
 def q_never_urgent_segments(sf_dir: str):
     """Distributed LEFT ANTI join: customers with NO urgent order,
     counted per market segment — left_outer hash join against the
@@ -1594,6 +1628,7 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "lang_distinct_docs": q_lang_distinct_docs,
     "lang_distinct_hll": q_lang_distinct_hll,
+    "lang_token_quantiles": q_lang_token_quantiles,
     "bpe_token_stats": q_bpe_token_stats,
     "bloom_members": q_bloom_members,
     "neardup_clusters": q_neardup_clusters,

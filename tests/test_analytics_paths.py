@@ -229,6 +229,28 @@ class TestExactIntQuantiles:
             pa.table({"v": pa.array([], type=pa.int64())}))
         assert len(exact_int_quantiles(ds, "v", [50])) == 0
 
+    def test_grouped_matches_definition(self, ray_session):
+        import ray.data
+
+        from bloom_filters_ray.stages.quantiles import \
+            exact_int_quantiles_by
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        rng = np.random.default_rng(9)
+        ks = rng.choice(["a", "b", "c"], size=3000).tolist()
+        vs = rng.integers(0, 30, size=3000).tolist()
+        ds = ray.data.from_arrow(pa.table({"k": ks, "v": vs}))
+        out = exact_int_quantiles_by(ds, "k", "v", [10, 50, 95])
+        got = {(k, p): q for k, p, q in
+               zip(out["k"].to_pylist(), out["pct"].to_pylist(),
+                   out["q"].to_pylist())}
+        for key in ("a", "b", "c"):
+            s = sorted(v for k, v in zip(ks, vs) if k == key)
+            for p in (10, 50, 95):
+                want = s[(p * len(s) + 99) // 100 - 1]
+                assert got[(key, p)] == want, (key, p)
+
 
 class TestGroupedHLL:
     def test_per_group_estimates_track_exact(self, ray_session):
