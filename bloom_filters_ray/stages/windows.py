@@ -134,25 +134,9 @@ def make_asof_block_fn(key_col: str = "user_id", ts_col: str = "ts",
     return fn
 
 
-def asof_join(left_ds, right_ds, key_col: str = "user_id",
-              ts_col: str = "ts", id_col: str = "event_id",
-              num_partitions: int | None = None):
-    """Distributed AS-OF join (an operator Ray Data has no builtin
-    for): for each left row, the most recent right row of the same key
-    at-or-before its timestamp. Shape: tag both sides (side=0/1) into
-    one schema, union the two UNSHUFFLED map streams, then ONE keyed
-    repartition co-locates each key's full timeline — a single
-    shuffle, never two concurrent shuffle operators (the documented
-    small-cluster deadlock) — and the whole-block vectorized matcher
-    runs per partition. Same single-shuffle/partitioning contract as
-    ``sessionize``: one key's rows must fit a block.
-    Returns (event_id, prev_id, gap_us) for matched left rows; the
-    DuckDB twin is ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
-    """
-    from ..util import cluster_cpus, ensure_hash_shuffle
-
-    ensure_hash_shuffle()
-    p = num_partitions or max(8, cluster_cpus())
+def _tag_union(left_ds, right_ds, key_col: str, ts_col: str, id_col: str):
+    """Two datasets → one tagged stream (side=0 right / 1 left): two
+    UNSHUFFLED map streams unioned, for the one-keyed-shuffle joins."""
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -166,13 +150,77 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id",
         return fn
 
     cols = [key_col, ts_col, id_col]
-    tagged = right_ds.select_columns(cols) \
+    return right_ds.select_columns(cols) \
         .map_batches(tag(0), batch_format="pyarrow") \
         .union(left_ds.select_columns(cols)
                .map_batches(tag(1), batch_format="pyarrow"))
-    tagged = tagged.repartition(p, keys=[key_col])
+
+
+def make_type_tag_fn(left_pred: str, right_pred: str,
+                     type_col: str = "event_type",
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id"):
+    """map_batches fn tagging BOTH join sides out of ONE stream: rows
+    whose *type_col* equals *left_pred* become side=1, *right_pred*
+    side=0, everything else is dropped — one pass over the source
+    instead of two filtered reads (half the read I/O at 100 TB)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        et = batch[type_col]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_l = pc.equal(et, pa.scalar(left_pred))
+        is_r = pc.equal(et, pa.scalar(right_pred))
+        keep = pc.or_(is_l, is_r)
+        kept = batch.filter(keep)
+        side = pc.if_else(pc.equal(kept[type_col], pa.scalar(left_pred)),
+                          pa.scalar(1, type=pa.int8()),
+                          pa.scalar(0, type=pa.int8()))
+        return pa.table({
+            key_col: kept[key_col],
+            ts_col: kept[ts_col],
+            id_col: kept[id_col],
+            "side": side,
+        })
+
+    return fn
+
+
+def asof_join_tagged(tagged_ds, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     num_partitions: int | None = None):
+    """As-of join over a pre-tagged (side=0 right / 1 left) stream:
+    ONE keyed repartition + the whole-block vectorized matcher."""
+    from ..util import cluster_cpus, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    p = num_partitions or max(8, cluster_cpus())
+    tagged = tagged_ds.repartition(p, keys=[key_col])
     return tagged.map_batches(make_asof_block_fn(key_col, ts_col, id_col),
                               batch_format="pyarrow", batch_size=None)
+
+
+def asof_join(left_ds, right_ds, key_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              num_partitions: int | None = None):
+    """Distributed AS-OF join (an operator Ray Data has no builtin
+    for): for each left row, the most recent right row of the same key
+    at-or-before its timestamp. Shape: tag both sides (side=0/1) into
+    one schema, union the two UNSHUFFLED map streams, then ONE keyed
+    repartition co-locates each key's full timeline — a single
+    shuffle, never two concurrent shuffle operators (the documented
+    small-cluster deadlock) — and the whole-block vectorized matcher
+    runs per partition. Same single-shuffle/partitioning contract as
+    ``sessionize``: one key's rows must fit a block. When both sides
+    come from ONE source, tag with ``make_type_tag_fn`` and call
+    ``asof_join_tagged`` instead — one read pass, not two.
+    Returns (event_id, prev_id, gap_us) for matched left rows; the
+    DuckDB twin is ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
+    """
+    return asof_join_tagged(
+        _tag_union(left_ds, right_ds, key_col, ts_col, id_col),
+        key_col, ts_col, id_col, num_partitions)
 
 
 def make_range_count_block_fn(window_us: int, key_col: str = "user_id",
@@ -222,39 +270,35 @@ def make_range_count_block_fn(window_us: int, key_col: str = "user_id",
     return fn
 
 
+def range_count_join_tagged(tagged_ds, window_us: int,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            num_partitions: int | None = None):
+    """Range-count join over a pre-tagged (side=0/1) stream: ONE keyed
+    repartition + the sort/cumsum block kernel."""
+    from ..util import cluster_cpus, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    p = num_partitions or max(8, cluster_cpus())
+    tagged = tagged_ds.repartition(p, keys=[key_col])
+    return tagged.map_batches(
+        make_range_count_block_fn(window_us, key_col, ts_col, id_col),
+        batch_format="pyarrow", batch_size=None)
+
+
 def range_count_join(left_ds, right_ds, window_us: int,
                      key_col: str = "user_id", ts_col: str = "ts",
                      id_col: str = "event_id",
                      num_partitions: int | None = None):
     """Distributed RANGE-count join: per left row, how many right rows
     of the same key fall in [left.ts − window_us, left.ts). Same
-    single-shuffle tag-union shape as ``asof_join``; the block kernel
-    is two searchsorted-style probes folded into one sort + cumsum."""
-    from ..util import cluster_cpus, ensure_hash_shuffle
-
-    ensure_hash_shuffle()
-    p = num_partitions or max(8, cluster_cpus())
-
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                key_col: batch[key_col],
-                ts_col: batch[ts_col],
-                id_col: batch[id_col],
-                "side": pa.array(
-                    np.full(len(batch), side, dtype=np.int8)),
-            })
-        return fn
-
-    cols = [key_col, ts_col, id_col]
-    tagged = right_ds.select_columns(cols) \
-        .map_batches(tag(0), batch_format="pyarrow") \
-        .union(left_ds.select_columns(cols)
-               .map_batches(tag(1), batch_format="pyarrow"))
-    tagged = tagged.repartition(p, keys=[key_col])
-    return tagged.map_batches(
-        make_range_count_block_fn(window_us, key_col, ts_col, id_col),
-        batch_format="pyarrow", batch_size=None)
+    single-shuffle tag-union shape as ``asof_join`` (same one-read
+    ``make_type_tag_fn`` + ``range_count_join_tagged`` option); the
+    block kernel is two searchsorted-style probes folded into one
+    sort + cumsum."""
+    return range_count_join_tagged(
+        _tag_union(left_ds, right_ds, key_col, ts_col, id_col),
+        window_us, key_col, ts_col, id_col, num_partitions)
 
 
 def make_topn_block_fn(n: int, key_col: str = "user_id",
