@@ -234,6 +234,12 @@ def run(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     pool = {**BENCH_QUERIES, **EXTRA_QUERIES} if only else BENCH_QUERIES
+    if only:
+        unknown = sorted(set(only) - set(pool))
+        if unknown:
+            raise SystemExit(
+                f"unknown bench query name(s) {unknown}; "
+                f"valid: {sorted(pool)}")
     names = [n for n in pool if not only or n in only]
     # best-of-N with the repeats in OUTER cycles (q1 q2 ... qk, q1 q2
     # ...): this host's wall time drifts ±70% with a period of minutes,

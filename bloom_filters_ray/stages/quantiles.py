@@ -6,7 +6,7 @@ one tiny (value, count) table → driver cumsum + threshold scan. This
 is the classic exact-quantile-via-histogram reduction: the shuffle
 carries one row per DISTINCT value (dozens for token counts), never
 the data, so it is 100-TB-safe whenever the value domain is bounded —
-the complement to sketch quantiles (t-digest/KLL) for unbounded
+the complement to sketch quantiles (KLL, stages/kll.py) for unbounded
 domains.
 
 Quantile definition (mirrored EXACTLY by the SQL twin, integer
@@ -19,21 +19,43 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# The histogram collect is driver-side by design (it is TINY for
+# bounded domains); this gate turns a silent OOM on a high-cardinality
+# column into a loud, actionable error (same pattern as
+# exact_cosine_pairs' broadcast gate in stages/ann.py).
+DEFAULT_MAX_HIST_ROWS = 2_000_000
+
+
+def _collect_hist(hist, limit: int, what: str) -> pa.Table | None:
+    parts, total = [], 0
+    for b in hist.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        total += b.num_rows
+        if total > limit:
+            raise ValueError(
+                f"exact quantile histogram for {what} exceeds "
+                f"max_hist_rows={limit} distinct rows — the value domain "
+                f"is not bounded enough for the exact-histogram path; "
+                f"use KLL sketch quantiles (stages/kll.py) or raise the "
+                f"gate explicitly")
+        parts.append(b)
+    return pa.concat_tables(parts) if parts else None
+
 
 def exact_int_quantiles(ds, col: str, pcts: list[int],
-                        out_pct: str = "pct", out_q: str = "q") -> pa.Table:
+                        out_pct: str = "pct", out_q: str = "q",
+                        max_hist_rows: int = DEFAULT_MAX_HIST_ROWS
+                        ) -> pa.Table:
     """Exact percentiles of integer column *col* of *ds* → one-row-per
     -percentile Table (pct int64, q int64). Distributed histogram +
     driver threshold scan; only (distinct_value, count) rows leave the
     workers."""
-    hist = ds.groupby(col).count()
-    vals, counts = [], []
-    for b in hist.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        vals.append(b[col].to_numpy(zero_copy_only=False).astype(np.int64))
-        counts.append(b["count()"].to_numpy(zero_copy_only=False)
-                      .astype(np.int64))
-    v = np.concatenate(vals) if vals else np.empty(0, dtype=np.int64)
-    c = np.concatenate(counts) if counts else np.empty(0, dtype=np.int64)
+    tbl = _collect_hist(ds.groupby(col).count(), max_hist_rows,
+                        f"column {col!r}")
+    if tbl is None:
+        return pa.table({out_pct: pa.array([], type=pa.int64()),
+                         out_q: pa.array([], type=pa.int64())})
+    v = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = tbl["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(v)
     v, c = v[order], c[order]
     cum = np.cumsum(c)
@@ -51,23 +73,29 @@ def exact_int_quantiles(ds, col: str, pcts: list[int],
 
 
 def exact_int_quantiles_by(ds, key_col: str, col: str, pcts: list[int],
-                           out_pct: str = "pct",
-                           out_q: str = "q") -> pa.Table:
+                           out_pct: str = "pct", out_q: str = "q",
+                           max_hist_rows: int = DEFAULT_MAX_HIST_ROWS
+                           ) -> pa.Table:
     """Per-GROUP exact percentiles of integer column *col*: one
     (key, value, count) histogram shuffle — rows bounded by
-    groups × distinct values, never the data — then a vectorized
-    driver scan (lexsort by (key, value), per-segment cumsum,
-    searchsorted threshold per (group, pct)). Same integer-exact
+    groups × distinct values (gated by *max_hist_rows*, loud error
+    past it), never the data — then a fully vectorized driver scan:
+    lexsort by (key, value), one global cumsum, and ONE searchsorted
+    over all (group, pct) targets at once (the global cumsum is
+    strictly increasing, so per-group targets base_g + k_g land inside
+    their own segment; p=0 clamps k to 1, which selects the group min
+    exactly like the per-segment scan did). Same integer-exact
     definition as ``exact_int_quantiles``. Output: (key, pct, q),
-    key column type preserved."""
-    hist = ds.groupby([key_col, col]).count()
-    parts = [b for b in hist.iter_batches(batch_size=1 << 16,
-                                          batch_format="pyarrow")]
-    if not parts:
-        return pa.table({key_col: pa.array([], type=pa.string()),
+    key column type preserved (also on empty input, derived from the
+    dataset schema)."""
+    tbl = _collect_hist(ds.groupby([key_col, col]).count(), max_hist_rows,
+                        f"({key_col!r}, {col!r})")
+    if tbl is None:
+        schema = ds.schema()
+        key_type = getattr(schema, "base_schema", schema).field(key_col).type
+        return pa.table({key_col: pa.array([], type=key_type),
                          out_pct: pa.array([], type=pa.int64()),
                          out_q: pa.array([], type=pa.int64())})
-    tbl = pa.concat_tables(parts)
     keys = tbl[key_col].combine_chunks() if isinstance(
         tbl[key_col], pa.ChunkedArray) else tbl[key_col]
     v = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -81,17 +109,14 @@ def exact_int_quantiles_by(ds, key_col: str, col: str, pcts: list[int],
     starts = np.flatnonzero(new)
     ends = np.concatenate((starts[1:], [len(kc)]))
     cum = np.cumsum(cs)
-    out_k, out_p, out_v = [], [], []
-    for s, e in zip(starts, ends):
-        base = cum[s - 1] if s else 0
-        n_g = int(cum[e - 1] - base)
-        for p in pcts:
-            k = (p * n_g + 99) // 100
-            idx = s + int(np.searchsorted(cum[s:e] - base, k, side="left"))
-            out_k.append(int(order[s]))  # any row index of this group
-            out_p.append(int(p))
-            out_v.append(int(vs[min(idx, e - 1)]))
-    key_out = keys.take(pa.array(out_k, type=pa.int64()))
+    bases = np.where(starts > 0, cum[starts - 1], 0)
+    n_g = cum[ends - 1] - bases
+    P = np.asarray(pcts, dtype=np.int64)
+    k = np.maximum((n_g[:, None] * P[None, :] + 99) // 100, 1)  # (G, |P|)
+    idx = np.searchsorted(cum, (bases[:, None] + k).ravel(), side="left")
+    idx = np.minimum(idx, np.repeat(ends - 1, len(P)))
+    key_rows = np.repeat(order[starts], len(P))  # any row of each group
+    key_out = keys.take(pa.array(key_rows, type=pa.int64()))
     return pa.table({key_col: key_out,
-                     out_pct: pa.array(out_p, type=pa.int64()),
-                     out_q: pa.array(out_v, type=pa.int64())})
+                     out_pct: pa.array(np.tile(P, len(starts))),
+                     out_q: pa.array(vs[idx].astype(np.int64))})

@@ -252,7 +252,9 @@ def make_bloom_probe_fn(filter_ref, on: str, out_col: str = "present"):
     return fn
 
 
-_REF_CACHE: dict = {}
+from collections import OrderedDict
+
+_REF_CACHE: OrderedDict = OrderedDict()
 
 
 def _plain_fetch(ref):
@@ -260,10 +262,13 @@ def _plain_fetch(ref):
     if key not in _REF_CACHE:
         import ray
 
-        # bounded multi-slot cache: stages that fetch SEVERAL broadcast
+        # bounded multi-slot LRU: stages that fetch SEVERAL broadcast
         # refs per batch (PQ: codebooks + queries [+ rotation]) must not
-        # evict each other every call
-        if len(_REF_CACHE) >= 16:
-            _REF_CACHE.clear()
+        # evict each other every call; evict only the coldest slot so
+        # the hot refs of the current stage stay pinned
+        while len(_REF_CACHE) >= 16:
+            _REF_CACHE.popitem(last=False)
         _REF_CACHE[key] = ray.get(ref)
+    else:
+        _REF_CACHE.move_to_end(key)
     return _REF_CACHE[key]

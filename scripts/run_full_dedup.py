@@ -15,9 +15,12 @@ it falls back to a local session. Input is a directory of parquet (or
 Lance, when the `lance` package is present — sources/io.py dispatches
 by extension) with the input_hint schema (image_id, bytes, w, h, fmt,
 caption, phash). Output: Hive-partitioned parquet of cluster
-assignments (one directory per hash bucket of the rep id — a failed
-run resumes from the stage checkpoints AND skips finished output
-partitions), plus a stats/metrics JSON.
+assignments (one directory per hash bucket of the rep id), plus a
+stats/metrics JSON. Resume granularity: the expensive stages resume
+from --checkpoint-dir; the final write is idempotent — a COMPLETE
+prior run (marked by _STATS.json) is skipped entirely, a PARTIAL one
+is replaced with mode="overwrite" so a crash mid-write never leaves
+duplicated assignment rows in the partition dirs.
 """
 
 from __future__ import annotations
@@ -60,6 +63,16 @@ def main() -> int:
     from bloom_filters_ray.sources.io import read_corpus_table
     from bloom_filters_ray.util import ensure_hash_shuffle
 
+    stats_path = os.path.join(args.output, "_STATS.json")
+    if os.path.exists(stats_path):
+        # _STATS.json is written only after a successful full write →
+        # the output is complete; re-running is a no-op (idempotent).
+        with open(stats_path) as f:
+            prior = json.load(f)
+        prior["skipped"] = "output already complete"
+        print(json.dumps(prior))
+        return 0
+
     ensure_hash_shuffle()
     cfg = FullDedupConfig(
         caption=DedupConfig(threshold=args.threshold,
@@ -87,10 +100,13 @@ def main() -> int:
         b = (xxh64_arrow(col, 3) % np.uint64(256)).astype(np.int64)
         return batch.append_column("bucket", pa.array(b))
 
+    # mode="overwrite": a partial dir from a crashed write is replaced,
+    # never appended to (appending would silently duplicate rows).
     assignments.map_batches(bucket, batch_format="pyarrow") \
-        .write_parquet(args.output, partition_cols=["bucket"])
+        .write_parquet(args.output, partition_cols=["bucket"],
+                       mode="overwrite")
     stats["wall_sec"] = round(time.perf_counter() - t0, 3)
-    with open(os.path.join(args.output, "_STATS.json"), "w") as f:
+    with open(stats_path, "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats))
     return 0

@@ -251,6 +251,44 @@ class TestExactIntQuantiles:
                 want = s[(p * len(s) + 99) // 100 - 1]
                 assert got[(key, p)] == want, (key, p)
 
+    def test_high_cardinality_hits_gate(self, ray_session):
+        """A key×value domain wider than max_hist_rows must fail LOUD
+        (ValueError pointing at KLL), never silently materialize the
+        histogram on the driver."""
+        import pytest
+        import ray.data
+
+        from bloom_filters_ray.stages.quantiles import \
+            exact_int_quantiles_by
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        # 2000 distinct (k, v) rows vs a gate of 100
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([f"k{i % 50}" for i in range(2000)]),
+            "v": pa.array(list(range(2000))),
+        }))
+        with pytest.raises(ValueError, match="max_hist_rows"):
+            exact_int_quantiles_by(ds, "k", "v", [50], max_hist_rows=100)
+
+    def test_grouped_empty_preserves_key_type(self, ray_session):
+        """Empty input: key column type must come from the dataset
+        schema (int64 here), not default to string."""
+        import ray.data
+
+        from bloom_filters_ray.stages.quantiles import \
+            exact_int_quantiles_by
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([], type=pa.int32()),
+            "v": pa.array([], type=pa.int64()),
+        }))
+        out = exact_int_quantiles_by(ds, "k", "v", [50])
+        assert len(out) == 0
+        assert out.schema.field("k").type == pa.int32()
+
 
 class TestGroupedHLL:
     def test_per_group_estimates_track_exact(self, ray_session):

@@ -42,3 +42,18 @@ class TestJobScript:
         assert (n_rows, n_ids) == (1500, 1500)
         # stage checkpoints landed (resume surface)
         assert (ck / "full_exact" / "_SUCCESS").exists()
+
+        # idempotent re-run: a COMPLETE output (_STATS.json present) is
+        # skipped, leaving the partition dirs untouched — rerunning must
+        # NEVER append a second copy of the assignment rows
+        sys.argv = ["run_full_dedup.py", "--input", str(inp),
+                    "--output", str(out), "--checkpoint-dir", str(ck),
+                    "--cc", "driver"]
+        try:
+            assert main() == 0
+        finally:
+            sys.argv = argv
+        n_rows2, = duckdb.sql(
+            f"SELECT count(*) "
+            f"FROM read_parquet('{out}/bucket=*/*.parquet')").fetchone()
+        assert n_rows2 == 1500, "re-run duplicated output rows"
