@@ -546,6 +546,23 @@ ORACLES: dict[str, str] = {
             WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
         ) WHERE rank <= 10
     """,
+    # IVF at nprobe == n_centroids scans every inverted list, so the
+    # result is provably the exact brute-force top-k — same SQL twin
+    # as ann_topk (this puts the IVF machinery itself under the hard
+    # value-hash gate; partial-probe recall stays a rows-only check).
+    "ann_ivf_exact": """
+        SELECT qid AS query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.embedding, e.embedding) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    """,
 }
 
 
@@ -1448,6 +1465,29 @@ def q_ann_ivf(sf_dir: str):
                     n_centroids=32, nprobe=8)
 
 
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF at FULL probe (nprobe == n_centroids): every inverted list
+    is scanned, so the result is provably the exact brute-force top-k
+    (tests/test_simhash_ann.py pins the equivalence) — this runs the
+    whole IVF machinery (sampled k-means coarse quantizer,
+    centroid-keyed inverted-list repartition, block-local list scans,
+    shared _rank_topk merge) under the hard DuckDB value-hash gate;
+    the partial-probe configuration stays rows-only by nature."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import embedding_matrix, ivf_topk
+
+    ensure_hash_shuffle()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       filters=[("vec_id", "<", 5)])
+    Q = embedding_matrix(qt["embedding"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               override_num_blocks=8)
+    return ivf_topk(ds, qt["vec_id"].to_numpy(), Q, k=10,
+                    n_centroids=32, nprobe=32)
+
+
 def q_jaccard_dup_pairs(sf_dir: str):
     """Exact set-similarity join over the documents table: all doc
     pairs whose distinct 3-word-shingle sets have Jaccard ≥ 0.8,
@@ -1663,6 +1703,7 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_exact": q_ann_ivf_exact,
     "ann_pq": q_ann_pq,
     "ann_opq": q_ann_opq,
     "ann_ivf_pq": q_ann_ivf_pq,

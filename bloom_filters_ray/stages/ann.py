@@ -142,30 +142,38 @@ def make_block_topk_fn(query_ref, k: int, id_col: str = "vec_id",
     return fn
 
 
+def _rank_topk(qf: np.ndarray, nf: np.ndarray, sf: np.ndarray, k: int):
+    """THE shared ANN tie-break: lexsort by (query, sim desc, neighbor
+    asc), rank 1..k within each query, drop the rest. Used identically
+    by the block-local emitters (IVF / IVF-PQ) and the driver merge so
+    block-local pruning can never disagree with the global merge.
+    Returns (query, neighbor, sim, rank) filtered arrays."""
+    order = np.lexsort((nf, -sf, qf))
+    qf, nf, sf = qf[order], nf[order], sf[order]
+    first = np.ones(len(qf), dtype=bool)
+    first[1:] = qf[1:] != qf[:-1]
+    gstart = np.maximum.accumulate(np.where(first, np.arange(len(qf)), 0))
+    rank = np.arange(len(qf)) - gstart + 1
+    keep = rank <= k
+    return qf[keep], nf[keep], sf[keep], rank[keep].astype(np.int64)
+
+
 def merge_topk_partials(partials, k: int) -> pa.Table:
     """Driver-side merge of block-local (query_id, neighbor_id, sim)
     top-k partials — tiny by construction (≤ k rows per query per
     block): global (sim desc, neighbor_id asc) order within each
-    query, rank 1..k. The single shared tie-break for every ANN
-    variant (brute/IVF/PQ/IVF-PQ/rerank)."""
+    query, rank 1..k via the shared ``_rank_topk`` tie-break."""
     tbl = partials if isinstance(partials, pa.Table) else pa.concat_tables(
         [b for b in partials.iter_batches(batch_size=1 << 16,
                                           batch_format="pyarrow")])
     qi = tbl["query_id"].to_numpy(zero_copy_only=False)
     ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
     si = tbl["sim"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ni, -si, qi))
-    qi, ni = qi[order], ni[order]
-    first = np.ones(len(qi), dtype=bool)
-    first[1:] = qi[1:] != qi[:-1]
-    group_start = np.maximum.accumulate(
-        np.where(first, np.arange(len(qi)), 0))
-    rank = np.arange(len(qi)) - group_start + 1
-    keep = rank <= k
+    qi, ni, _, rank = _rank_topk(qi, ni, si, k)
     return pa.table({
-        "query_id": pa.array(qi[keep]),
-        "neighbor_id": pa.array(ni[keep]),
-        "rank": pa.array(rank[keep].astype(np.int64)),
+        "query_id": pa.array(qi),
+        "neighbor_id": pa.array(ni),
+        "rank": pa.array(rank),
     })
 
 
@@ -328,17 +336,9 @@ def make_ivf_probe_fn(centroid_ref, query_ref, k: int, nprobe: int,
             qf, nf, sf = qf[keep], nf[keep], sf[keep]
         if not len(qf):
             return empty()
-        # block-local top-k per query, vectorized (sort + rank<=k with
-        # the same (q, -sim, neighbor) tie-break as the driver merge)
-        o2 = np.lexsort((nf, -sf, qf))
-        qf, nf, sf = qf[o2], nf[o2], sf[o2]
-        first = np.ones(len(qf), dtype=bool)
-        first[1:] = qf[1:] != qf[:-1]
-        gstart = np.maximum.accumulate(np.where(first, np.arange(len(qf)), 0))
-        rank = np.arange(len(qf)) - gstart
-        keep = rank < k
+        qf, nf, sf, _ = _rank_topk(qf, nf, sf, k)
         return pa.Table.from_arrays(
-            [pa.array(qf[keep]), pa.array(nf[keep]), pa.array(sf[keep])],
+            [pa.array(qf), pa.array(nf), pa.array(sf)],
             names=["query_id", "neighbor_id", "sim"])
 
     return fn
@@ -726,16 +726,9 @@ def make_ivf_pq_probe_fn(centroid_ref, book_ref, query_ref, k: int,
             qf, nf, sf = qf[keep], nf[keep], sf[keep]
         if not len(qf):
             return empty()
-        o2 = np.lexsort((nf, -sf, qf))
-        qf, nf, sf = qf[o2], nf[o2], sf[o2]
-        first = np.ones(len(qf), dtype=bool)
-        first[1:] = qf[1:] != qf[:-1]
-        gstart = np.maximum.accumulate(
-            np.where(first, np.arange(len(qf)), 0))
-        rank = np.arange(len(qf)) - gstart
-        keep = rank < k
+        qf, nf, sf, _ = _rank_topk(qf, nf, sf, k)
         return pa.Table.from_arrays(
-            [pa.array(qf[keep]), pa.array(nf[keep]), pa.array(sf[keep])],
+            [pa.array(qf), pa.array(nf), pa.array(sf)],
             names=["query_id", "neighbor_id", "sim"])
 
     return fn
