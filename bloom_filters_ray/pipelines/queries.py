@@ -205,6 +205,15 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(DISTINCT text) AS n_unique
         FROM documents GROUP BY lang
     """,
+    "lang_top_texts": """
+        SELECT lang, value, frequency, rank FROM (
+            SELECT lang, text AS value, count(*) AS frequency,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY count(*) DESC, text) AS BIGINT) AS rank
+            FROM documents GROUP BY lang, text
+        ) WHERE rank <= 3
+    """,
     "lang_token_quantiles": """
         WITH tok AS (
             SELECT lang, CAST(CASE WHEN trim(text) = '' THEN 0
@@ -1015,6 +1024,48 @@ def q_lang_distinct_hll(sf_dir: str):
     return agg.map_batches(decode, batch_format="pyarrow")
 
 
+def q_lang_top_texts(sf_dir: str):
+    """TopK sketch PER GROUP — the per-slice heavy-hitters complement
+    of q_lang_distinct_hll's per-group HLL: one (CMS, candidate-heap)
+    TopK partial per language via groupby(lang).aggregate(TopKAgg),
+    merged inside the hash shuffle (only fixed-size sketch state
+    moves), then a tiny decode explodes each group's top-3 into
+    (lang, value, frequency, rank) rows. HARD-oracled in the same
+    exactness regime as topk_sketch★: CMS 27k cols × 7 rows
+    (accuracy=e^-7) far above the per-lang distinct-text count and
+    candidates_per_block above the per-block distinct count make the
+    estimates exact and the (freq desc, value) ranking identical to
+    the SQL twin's row_number()."""
+    import math
+    import pickle
+
+    from ..stages.sketch_aggs import TopKAgg
+
+    ensure_hash_shuffle()
+    agg = _docs(sf_dir, columns=["lang", "text"]) \
+        .groupby("lang").aggregate(TopKAgg(
+            on="text", k=3, accuracy=math.exp(-7),
+            candidates_per_block=8192))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        langs, vals, freqs, ranks = [], [], [], []
+        for lang, blob in zip(batch["lang"].to_pylist(),
+                              batch["topk"].to_pylist()):
+            for t in pickle.loads(blob):
+                langs.append(lang)
+                vals.append(t["value"])
+                freqs.append(t["frequency"])
+                ranks.append(t["rank"])
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "value": pa.array(vals, type=pa.string()),
+            "frequency": pa.array(freqs, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def q_lang_token_quantiles(sf_dir: str):
     """Per-GROUP exact percentiles: p50/p90/p99 of the per-document
     whitespace token count, per language (stages/quantiles.py:
@@ -1667,6 +1718,7 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "lang_distinct_docs": q_lang_distinct_docs,
     "lang_distinct_hll": q_lang_distinct_hll,
+    "lang_top_texts": q_lang_top_texts,
     "lang_token_quantiles": q_lang_token_quantiles,
     "bpe_token_stats": q_bpe_token_stats,
     "bloom_members": q_bloom_members,
