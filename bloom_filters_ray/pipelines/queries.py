@@ -1441,6 +1441,30 @@ def q_token_quantiles(sf_dir: str):
     return exact_int_quantiles(ds, "n_tokens", [25, 50, 75, 95, 99])
 
 
+def q_token_quantiles_kll(sf_dir: str):
+    """KLL sketch quantiles (state/kll.py, KLLAgg partial/final) over
+    the per-document token count — the UNBOUNDED-domain complement of
+    token_quantiles★'s exact histogram: fixed-size level stacks merge
+    inside the aggregate tree, so it works on float/high-cardinality
+    columns where the exact path's max_hist_rows gate trips.
+    Approximate by nature (rows-only check); the ≤1.65/k rank-error
+    contract vs the exact twin is pinned in tests (test_sketches.py,
+    test_analytics_paths.py)."""
+    from ..stages.sketch_aggs import build_kll
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(make_token_stats_fn(id_col="doc_id",
+                                         text_col="text"),
+                     batch_format="pyarrow") \
+        .select_columns(["n_tokens"])
+    sk = build_kll(ds, on="n_tokens", k=200)
+    pcts = [25, 50, 75, 95, 99]
+    return pa.table({
+        "pct": pa.array(pcts, type=pa.int64()),
+        "q_est": pa.array(sk.quantiles(pcts), type=pa.float64()),
+    })
+
+
 def q_seenset_mark(sf_dir: str):
     """Streaming seen-set pruning: sharded ScalableBloom actors mark
     the first arrival of each caption (is_new). Winner identity is
@@ -1751,6 +1775,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "topk_sketch": q_topk_sketch,
     "token_quantiles": q_token_quantiles,
+    "token_quantiles_kll": q_token_quantiles_kll,
     "seenset_mark": q_seenset_mark,
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,

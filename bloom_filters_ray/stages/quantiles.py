@@ -6,7 +6,7 @@ one tiny (value, count) table → driver cumsum + threshold scan. This
 is the classic exact-quantile-via-histogram reduction: the shuffle
 carries one row per DISTINCT value (dozens for token counts), never
 the data, so it is 100-TB-safe whenever the value domain is bounded —
-the complement to sketch quantiles (KLL, stages/kll.py) for unbounded
+the complement to sketch quantiles (KLL, state/kll.py) for unbounded
 domains.
 
 Quantile definition (mirrored EXACTLY by the SQL twin, integer
@@ -35,7 +35,7 @@ def _collect_hist(hist, limit: int, what: str) -> pa.Table | None:
                 f"exact quantile histogram for {what} exceeds "
                 f"max_hist_rows={limit} distinct rows — the value domain "
                 f"is not bounded enough for the exact-histogram path; "
-                f"use KLL sketch quantiles (stages/kll.py) or raise the "
+                f"use KLL sketch quantiles (state/kll.py) or raise the "
                 f"gate explicitly")
         parts.append(b)
     return pa.concat_tables(parts) if parts else None

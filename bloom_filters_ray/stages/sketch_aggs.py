@@ -208,6 +208,46 @@ class TopKAgg(AggregateFnV2):
         return pickle.dumps(out)
 
 
+class KLLAgg(AggregateFnV2):
+    """KLL quantile sketch of a numeric column (state/kll.py — Karnin/
+    Lang/Liberty FOCS'16): per-block vectorized build, level-concat
+    merge in combine, fixed-size state on the wire. The sketch-partial
+    complement of the exact-histogram path in stages/quantiles.py for
+    UNBOUNDED/float domains. Finalized value: a pickled KLLSketch."""
+
+    def __init__(self, on: str, k: int = 200, seed: int = DEFAULT_SEED,
+                 name: str = "kll"):
+        self._on = on
+        self._k = k
+        self._seed = seed
+        super().__init__(name, lambda: None, on=on, ignore_nulls=True)
+
+    def _new(self):
+        from ..state.kll import KLLSketch
+
+        return KLLSketch(self._k, self._seed)
+
+    def aggregate_block(self, block):
+        col = _column(block, self._on)
+        return self._new().update_many(
+            col.to_numpy(zero_copy_only=False).astype(np.float64))
+
+    def combine(self, cur, new):
+        if cur is None:
+            return new
+        if new is None:
+            return cur
+        return cur.merge(new)
+
+    def finalize(self, acc):
+        return pickle.dumps(acc if acc is not None else self._new())
+
+
+def build_kll(ds, on: str, k: int = 200, seed: int = DEFAULT_SEED):
+    """Distributed KLL build → the merged KLLSketch."""
+    return pickle.loads(ds.aggregate(KLLAgg(on=on, k=k, seed=seed))["kll"])
+
+
 def build_topk(ds, on: str, k: int = 10, error_rate: float = 1e-4,
                accuracy: float = 0.999,
                candidates_per_block: int | None = None,

@@ -336,3 +336,39 @@ class TestHLLLegacyGuard:
         assert "_mode" not in data and "_hashFamily" not in data
         g = HyperLogLog.from_json(data)
         assert g.equals(h)
+
+
+class TestKLLAgg:
+    def test_distributed_kll_tracks_exact_histogram(self, ray_session):
+        """Twin-gate pattern (lang_distinct_hll vs lang_distinct_docs★):
+        the KLLAgg sketch quantiles must track the exact histogram
+        quantiles within the rank-error envelope on the same data."""
+        import ray.data
+
+        from bloom_filters_ray.stages.quantiles import exact_int_quantiles
+        from bloom_filters_ray.stages.sketch_aggs import build_kll
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        rng = np.random.default_rng(11)
+        vals = rng.geometric(0.01, size=40_000).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals)})).repartition(8).materialize()
+        pcts = [25, 50, 75, 95, 99]
+        exact = dict(zip(*[c.to_pylist() for c in
+                           exact_int_quantiles(ds, "v", pcts).columns]))
+        sk = build_kll(ds, on="v", k=200)
+        sv = np.sort(vals)
+        for p, est in zip(pcts, sk.quantiles(pcts)):
+            r_est = np.searchsorted(sv, est, side="right") / len(sv)
+            assert abs(r_est - p / 100) <= 0.02, (p, est, exact[p])
+
+    def test_query_registered_rows_only(self, ray_session):
+        from bloom_filters_ray.pipelines.queries import ORACLES, QUERIES
+
+        assert "token_quantiles_kll" in QUERIES
+        assert "token_quantiles_kll" not in ORACLES  # approximate by nature
+        out = QUERIES["token_quantiles_kll"](SF)
+        tbl = out if isinstance(out, pa.Table) else pa.Table.from_pandas(out)
+        assert tbl.num_rows == 5
+        assert tbl.schema.field("q_est").type == pa.float64()

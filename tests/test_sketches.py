@@ -304,3 +304,80 @@ class TestIBLT:
         for i, e in enumerate(items):
             assert int(hs[i]) == a.gen_hash(e), e
             assert list(idxs[i]) == a.gen_indexes(e), e
+
+
+class TestKLL:
+    """KLL quantile sketch (state/kll.py): rank-error contract, merge
+    semantics, and edge cases — the unbounded-domain complement of the
+    exact histogram quantiles."""
+
+    def test_rank_error_bound_after_sharded_merge(self):
+        import numpy as np
+
+        from bloom_filters_ray.state.kll import KLLSketch
+
+        rng = np.random.default_rng(0)
+        data = np.exp(rng.normal(0.0, 2.0, size=120_000))  # heavy tail
+        shards = []
+        for si, part in enumerate(np.array_split(data, 12)):
+            s = KLLSketch(200, seed=1000 + si)
+            for chunk in np.array_split(part, 3):  # streamed ingest
+                s.update_many(chunk)
+            shards.append(s)
+        m = shards[0]
+        for s in shards[1:]:
+            m.merge(s)
+        assert m.n == len(data)
+        # state stays bounded regardless of n
+        assert m._size() <= m._budget() <= 3 * 200
+        sd = np.sort(data)
+        for p in (1, 10, 25, 50, 75, 90, 99):
+            est = m.quantile(p)
+            r = np.searchsorted(sd, est, side="right") / len(sd)
+            # paper bound ~1.65/k = 0.825%; allow 2% slack for the
+            # 12-way merge + streamed ingest
+            assert abs(r - p / 100) <= 0.02, (p, est, r)
+
+    def test_exact_below_capacity(self):
+        """Under k items nothing ever compacts: quantiles are exact
+        under the shared ceil(p*n/100) threshold definition."""
+        import numpy as np
+
+        from bloom_filters_ray.state.kll import KLLSketch
+
+        vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+        s = KLLSketch(200, seed=1).update_many(vals)
+        sv = sorted(vals)
+        for p in (1, 20, 40, 60, 80, 100):
+            k = (p * len(vals) + 99) // 100
+            assert s.quantile(p) == sv[max(k, 1) - 1], p
+
+    def test_nan_and_empty(self):
+        import numpy as np
+
+        from bloom_filters_ray.state.kll import KLLSketch
+
+        s = KLLSketch(64, seed=2)
+        assert np.isnan(s.quantile(50))
+        s.update_many([np.nan, np.nan, 4.0])
+        assert s.n == 1 and s.quantile(50) == 4.0
+
+    def test_merge_rejects_mismatched_k(self):
+        import pytest
+
+        from bloom_filters_ray.state.kll import KLLSketch
+
+        with pytest.raises(ValueError):
+            KLLSketch(64).merge(KLLSketch(128))
+
+    def test_rank_scales_to_n(self):
+        import numpy as np
+
+        from bloom_filters_ray.state.kll import KLLSketch
+
+        data = np.arange(50_000, dtype=np.float64)
+        s = KLLSketch(200, seed=3).update_many(data)
+        # retained weight equals n within odd-compaction drift (<1%)
+        v, w = s._weighted()
+        assert abs(int(w.sum()) - s.n) <= s.n * 0.01
+        assert abs(s.rank(25_000.0) - 25_000) <= 1_500
