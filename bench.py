@@ -180,16 +180,57 @@ def bench_caption_skewed(sf_dir: str) -> int:
         .select_columns(["image_id", "caption"])
     assignments, _ = dedup_pipeline(ds, cfg)
     df = assignments.select_columns(["image_id", "cluster_id"]).to_pandas()
-    # image_id = img-{doc:08d}-{variant}; recall over the planted
-    # (variant 0, variant 2) near-dup pair per doc
+    # image_id = img-{doc:08d}-{variant}
+    EXTRAS["caption_skewed_recall"] = round(_planted_recall(df), 4)
+    EXTRAS["caption_skewed_hot_threshold"] = hot_env or None
+    return len(df)
+
+
+def _planted_recall(df) -> float:
+    """Recall over the planted (variant 0, variant 2) near-dup pair
+    per doc, from an assignments frame with image_id/cluster_id."""
     var = df.image_id.str.rsplit("-", n=1).str[-1]
     doc = df.image_id.str.slice(4, 12)
     d0 = df[var == "0"].set_index(doc[var == "0"])["cluster_id"]
     d2 = df[var == "2"].set_index(doc[var == "2"])["cluster_id"]
     joined = d0.align(d2, join="inner")
-    EXTRAS["caption_skewed_recall"] = round(
-        float((joined[0] == joined[1]).mean()), 4)
-    EXTRAS["caption_skewed_hot_threshold"] = hot_env or None
+    return float((joined[0] == joined[1]).mean())
+
+
+def bench_full_skewed(sf_dir: str) -> int:
+    """Flagship salting A/B workload: the MERGED band tier (caption
+    LSH + phash Hamming through ONE keyed shuffle) over the same
+    boilerplate-skewed corpus as bench_caption_skewed. phash comes
+    from the corpus column (no decode stage) so the A/B isolates the
+    band/shuffle stages salting actually changes. BENCH_HOT_THRESHOLD
+    toggles salting ("auto" allowed); the loosened
+    BENCH_SKEW_MAX_BUCKET makes the unsalted arm pay the real
+    hot-bucket cost. Planted recall + hot-band count land in
+    EXTRAS."""
+    from bloom_filters_ray.pipelines.dedup import DedupConfig
+    from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                  full_dedup_pipeline)
+    from bloom_filters_ray.sources.synthetic import (corpus_dataset,
+                                                     make_boiler_skew_fn)
+
+    pct = int(os.environ.get("BENCH_SKEW_PCT", "40"))
+    max_bucket = int(os.environ.get("BENCH_SKEW_MAX_BUCKET", "4096"))
+    hot_env = os.environ.get("BENCH_HOT_THRESHOLD", "")
+    hot = None if not hot_env else (
+        "auto" if hot_env == "auto" else int(hot_env))
+    cfg = FullDedupConfig(caption=DedupConfig(
+        num_partitions=PARTITIONS, max_bucket=max_bucket,
+        hot_threshold=hot))
+    ds = corpus_dataset(sf_dir, copies=COPIES, with_bytes=True) \
+        .select_columns(["image_id", "bytes", "caption", "phash",
+                         "doc_id"]) \
+        .map_batches(make_boiler_skew_fn(pct), batch_format="pyarrow") \
+        .select_columns(["image_id", "bytes", "caption", "phash"])
+    assignments, stats = full_dedup_pipeline(ds, cfg)
+    df = assignments.select_columns(["image_id", "cluster_id"]).to_pandas()
+    EXTRAS["full_skewed_recall"] = round(_planted_recall(df), 4)
+    EXTRAS["full_skewed_hot_threshold"] = hot_env or None
+    EXTRAS["full_skewed_n_hot_bands"] = stats.get("n_hot_bands")
     return len(df)
 
 
@@ -206,6 +247,7 @@ BENCH_QUERIES = {
 # NOT in the per-round headline set, which stays comparable across rounds)
 EXTRA_QUERIES = {
     "caption_skewed": bench_caption_skewed,
+    "full_skewed": bench_full_skewed,
 }
 
 
@@ -317,13 +359,17 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
-def run_salting_ab(sf_dir: str) -> dict:
+def run_salting_ab(sf_dir: str, query: str = "caption_skewed") -> dict:
     """Matched A/B of hot-band salting on the skewed (boilerplate)
     corpus: arms are INTERLEAVED fresh processes (off, on, off, on,
     ...), best throughput per arm kept — the only valid comparison
-    shape on this drift-heavy host (see BASELINE.md). Reports both
-    arms' wall/throughput, planted-pair recall per arm, and the
-    on/off throughput ratio."""
+    shape on this drift-heavy host (see BASELINE.md). *query* picks
+    the workload: caption_skewed (split caption tier) or full_skewed
+    (flagship merged band tier). Reports both arms' wall/throughput,
+    planted-pair recall per arm, and the on/off throughput ratio."""
+    if query not in EXTRA_QUERIES:
+        raise SystemExit(f"unknown salting-ab query {query!r}; "
+                         f"valid: {sorted(EXTRA_QUERIES)}")
     arms = {"off": "", "on": os.environ.get("BENCH_SALT_HOT", "256")}
     legs = int(os.environ.get("BENCH_AB_LEGS", "3"))
     best: dict[str, dict] = {}
@@ -335,23 +381,22 @@ def run_salting_ab(sf_dir: str) -> dict:
         env.setdefault("RAY_GRAFT_CPUS", str(NUM_CPUS))
         env.setdefault("BENCH_REPEAT", "2")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "caption_skewed"],
+            [sys.executable, os.path.abspath(__file__), "--child", query],
             env=env, capture_output=True, text=True, check=True)
         res = json.loads(proc.stdout.strip().splitlines()[-1])
-        if arm not in best or (res["throughput"]["caption_skewed"]
-                               > best[arm]["throughput"]["caption_skewed"]):
+        if arm not in best or (res["throughput"][query]
+                               > best[arm]["throughput"][query]):
             best[arm] = res
-    thr = {a: best[a]["throughput"]["caption_skewed"] for a in arms}
-    return {
-        "metric": "hot-band salting A/B on skewed corpus "
+    thr = {a: best[a]["throughput"][query] for a in arms}
+    out = {
+        "metric": f"hot-band salting A/B on skewed corpus [{query}] "
                   "(salted/unsalted throughput ratio)",
         "value": round(thr["on"] / thr["off"], 3),
         "unit": "ratio",
-        "queries": {f"caption_skewed_{a}_sec":
-                    best[a]["queries"]["caption_skewed"] for a in arms},
+        "queries": {f"{query}_{a}_sec":
+                    best[a]["queries"][query] for a in arms},
         "throughput_rows_per_sec": thr,
-        "recall": {a: best[a]["extras"]["caption_skewed_recall"]
+        "recall": {a: best[a]["extras"][f"{query}_recall"]
                    for a in arms},
         "skew_pct": int(os.environ.get("BENCH_SKEW_PCT", "40")),
         "max_bucket": int(os.environ.get("BENCH_SKEW_MAX_BUCKET", "4096")),
@@ -360,13 +405,19 @@ def run_salting_ab(sf_dir: str) -> dict:
         "rows": best["on"]["rows"],
         "copies": COPIES,
     }
+    n_hot = best["on"]["extras"].get(f"{query}_n_hot_bands")
+    if n_hot is not None:
+        out["n_hot_bands"] = n_hot
+    return out
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     elif "--salting-ab" in sys.argv:
-        print(json.dumps(run_salting_ab(SF_DIR)))
+        rest = sys.argv[sys.argv.index("--salting-ab") + 1:]
+        print(json.dumps(run_salting_ab(
+            SF_DIR, rest[0] if rest else "caption_skewed")))
     elif "--child" in sys.argv:
         only = sys.argv[sys.argv.index("--child") + 1 :] or None
         print(json.dumps(run(SF_DIR, NUM_CPUS, only)))

@@ -61,9 +61,11 @@ class DedupConfig:
     seed: int = DEFAULT_SEED
     num_partitions: int | None = None  # None: ~1 per cluster CPU
     # hot-band salting: buckets whose CMS/TopK-estimated size exceeds
-    # this are split into n_salt sub-buckets (None disables; the
-    # pair emitter's max_bucket cap still bounds worst-case work)
-    hot_threshold: int | None = None
+    # this are split into n_salt sub-buckets (None disables; "auto"
+    # derives the threshold from the band-row count via
+    # stages.neardup.auto_hot_threshold; the pair emitter's max_bucket
+    # cap still bounds worst-case work either way)
+    hot_threshold: int | str | None = None
     n_salt: int = 16
     broadcast_limit: int = 2_000_000  # sig rows; above this use the hash join
     cc: str = "driver"  # "driver" union-find | "distributed" star contraction
@@ -110,7 +112,41 @@ def signatures(reps_ds, cfg: DedupConfig):
         batch_format="pyarrow", batch_size=8192)
 
 
-def candidate_pairs(sigs_ds, cfg: DedupConfig):
+def _salt_hot_bands(bands_ds, cfg: DedupConfig,
+                    preserve_top_bit: bool = False,
+                    diag: dict | None = None):
+    """Skew diagnostic + salting over a (band_key, id) stream: one
+    TopK sketch pass finds hot buckets, then ``make_salt_fn`` splits
+    them into n_salt sub-buckets. ``hot_threshold="auto"`` derives the
+    cut from the measured band-row count (2× partition fair share);
+    *preserve_top_bit* keeps the merged band tier's tag bit so the
+    flagship's single shuffle composes with salting. Materializes the
+    band stream (needed anyway — the sketch pass and the shuffle both
+    consume it). *diag*, when given, receives the effective threshold
+    and hot-bucket count (surfaced in pipeline stats)."""
+    from ..stages.neardup import auto_hot_threshold, make_salt_fn
+    from ..stages.sketch_aggs import build_topk
+
+    bands_ds = bands_ds.materialize()
+    thr = cfg.hot_threshold
+    if thr == "auto":
+        thr = auto_hot_threshold(bands_ds.count(), cfg.partitions(),
+                                 cfg.max_bucket)
+    top = build_topk(bands_ds, on="band_key", k=512, error_rate=1e-5,
+                     seed=cfg.seed)
+    hot = [t["value"] for t in top if t["frequency"] > thr]
+    if diag is not None:
+        diag["hot_threshold_effective"] = int(thr)
+        diag["n_hot_bands"] = len(hot)
+    if hot:
+        bands_ds = bands_ds.map_batches(
+            make_salt_fn(hot, cfg.n_salt, cfg.id_col, cfg.seed,
+                         preserve_top_bit=preserve_top_bit),
+            batch_format="pyarrow")
+    return bands_ds
+
+
+def candidate_pairs(sigs_ds, cfg: DedupConfig, diag: dict | None = None):
     """sigs → band rows → (optional hot-band salting) →
     hash-partitioned buckets → pairs (block-local dedupe). One keyed
     shuffle; emitted pairs may repeat across blocks."""
@@ -118,17 +154,7 @@ def candidate_pairs(sigs_ds, cfg: DedupConfig):
         make_band_rows(cfg.id_col, cfg.bands, cfg.rows_per_band, cfg.seed),
         batch_format="pyarrow")
     if cfg.hot_threshold is not None:
-        from ..stages.neardup import make_salt_fn
-        from ..stages.sketch_aggs import build_topk
-
-        bands_ds = bands_ds.materialize()
-        top = build_topk(bands_ds, on="band_key", k=512, error_rate=1e-5,
-                         seed=cfg.seed)
-        hot = [t["value"] for t in top if t["frequency"] > cfg.hot_threshold]
-        if hot:
-            bands_ds = bands_ds.map_batches(
-                make_salt_fn(hot, cfg.n_salt, cfg.id_col, cfg.seed),
-                batch_format="pyarrow")
+        bands_ds = _salt_hot_bands(bands_ds, cfg, diag=diag)
     bands_ds = bands_ds.repartition(cfg.partitions(), keys=["band_key"])
     pairs = bands_ds.map_batches(
         make_pair_emitter(cfg.id_col, cfg.max_bucket),
@@ -343,7 +369,8 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
     n_sigs = sigs.count()
 
     # execution 3 (shuffle 2): bands → pairs → verify → edges
-    pairs = candidate_pairs(sigs, cfg)
+    salt_diag: dict = {}
+    pairs = candidate_pairs(sigs, cfg, diag=salt_diag)
     if n_sigs <= cfg.broadcast_limit:
         sig_table = pa.concat_tables(
             [b for b in sigs.select_columns([cfg.id_col, "sig"])
@@ -359,6 +386,7 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
             "n_unique_captions": n_sigs,
             "n_edges": -1,  # not counted on this path
             **cc_stats,
+            **salt_diag,
         }
         return assignments, stats
 
@@ -378,5 +406,6 @@ def dedup_pipeline(ds, cfg: DedupConfig | None = None):
         "n_edges": n_edges,
         "n_dup_ids_in_components": len(comp),
         "n_components": len(set(comp.values())),
+        **salt_diag,
     }
     return assignments, stats

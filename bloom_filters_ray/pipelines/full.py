@@ -35,11 +35,19 @@ are fused to FOUR — per-execution executor/actor startup is a
 (the round-3 scaling runs put the serial floor at ~6-9 s of a 16-CPU
 leg, most of it executor+shuffle-aggregator spin-up).
 
-Above ``broadcast_limit`` (or with hot-band salting enabled) the
-pipeline falls back to the split-tier structure: caption pairs
-verified by an explicit two-sided hash join, the phash tier shuffling
-its codes with the band rows — one more shuffle + execution, but no
-driver-side collection of the signature table.
+Hot-band salting composes with the merged tier: when
+``hot_threshold`` is set (int, or "auto" to derive it from the band-
+row count), a TopK skew pass runs over the merged (band_key, id)
+stream and hot buckets are rescattered into n_salt sub-buckets with
+the tier tag bit preserved (salt entropy stays below bit 63), so both
+tiers keep routing through the SAME single keyed shuffle and the
+in-block emitter still separates them by key sign.
+
+Above ``broadcast_limit`` the pipeline falls back to the split-tier
+structure: caption pairs verified by an explicit two-sided hash join,
+the phash tier shuffling its codes with the band rows — one more
+shuffle + execution, but no driver-side collection of the signature
+table.
 """
 
 from __future__ import annotations
@@ -58,8 +66,9 @@ from ..stages.simhash import (make_bucket_hamming_emitter,
                               make_code_band_rows,
                               make_code_band_rows_with_code)
 from ..util import ensure_hash_shuffle
-from .dedup import (DedupConfig, _ckpt, assign_clusters, candidate_pairs,
-                    verify_pairs_broadcast, verify_pairs_join)
+from .dedup import (DedupConfig, _ckpt, _salt_hot_bands, assign_clusters,
+                    candidate_pairs, verify_pairs_broadcast,
+                    verify_pairs_join)
 
 
 @dataclasses.dataclass
@@ -220,7 +229,7 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
     sigs = _ckpt(sigs, ccfg, "full_sigs")
     n_reps = sigs.count()
 
-    if n_reps <= ccfg.broadcast_limit and ccfg.hot_threshold is None:
+    if n_reps <= ccfg.broadcast_limit:
         # MERGED band tier (default): one shuffle, one execution for
         # both tiers; edges come out already verified. Side data (sig
         # matrix + phash codes) is broadcast once via ray.put.
@@ -236,6 +245,14 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
         bands = sigs.map_batches(
             _unified_band_rows(ccfg, cfg.phash_bits_per_band),
             batch_format="pyarrow")
+        salt_diag: dict = {}
+        if ccfg.hot_threshold is not None:
+            # hot-band guard stays on the single merged shuffle: the
+            # TopK skew pass runs over the combined stream and salted
+            # keys keep their tier tag bit (preserve_top_bit), so the
+            # emitter's key-sign routing survives salting.
+            bands = _salt_hot_bands(bands, ccfg, preserve_top_bit=True,
+                                    diag=salt_diag)
         bands = bands.repartition(ccfg.partitions(), keys=["band_key"])
         edges = bands.map_batches(
             make_unified_edge_emitter(ccfg.id_col, side_ref,
@@ -264,6 +281,7 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
                 "n_unique_pairs": n_reps,
                 "n_edges": edges_m.count(),
                 **cc_stats,
+                **salt_diag,
             }
         # execution 3: band shuffle → verified edges → union-find
         uf = UnionFind()
@@ -281,14 +299,17 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
             "n_edges": n_edges,
             "n_dup_ids_in_components": len(comp),
             "n_components": len(set(comp.values())),
+            **salt_diag,
         }
 
-    # SPLIT-TIER fallback (above broadcast_limit, or hot-band salting
-    # requested): caption pairs verified by an explicit two-sided hash
-    # join — the driver never holds the signature table; phash codes
-    # travel WITH the image band rows (8 bytes/row) for in-bucket
-    # Hamming. One extra shuffle + execution vs the merged path.
-    pairs = candidate_pairs(sigs, ccfg)
+    # SPLIT-TIER fallback (above broadcast_limit): caption pairs
+    # verified by an explicit two-sided hash join — the driver never
+    # holds the signature table; phash codes travel WITH the image
+    # band rows (8 bytes/row) for in-bucket Hamming. One extra shuffle
+    # + execution vs the merged path. candidate_pairs() applies the
+    # same hot-band salting on this path when hot_threshold is set.
+    salt_diag = {}
+    pairs = candidate_pairs(sigs, ccfg, diag=salt_diag)
     if n_reps <= ccfg.broadcast_limit:
         sig_table = pa.concat_tables(
             [b for b in sigs.select_columns([ccfg.id_col, "sig"])
@@ -323,6 +344,7 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
             "n_unique_pairs": n_reps,
             "n_edges": -1,  # not counted on this path
             **cc_stats,
+            **salt_diag,
         }
         return assignments, stats
 
@@ -347,5 +369,6 @@ def full_dedup_pipeline(ds, cfg: FullDedupConfig | None = None):
         "n_edges": n_edges,
         "n_dup_ids_in_components": len(comp),
         "n_components": len(set(comp.values())),
+        **salt_diag,
     }
     return assignments, stats

@@ -146,12 +146,18 @@ def make_band_rows(id_col: str, bands: int, rows_per_band: int,
 
 
 def make_salt_fn(hot_keys, n_salt: int, id_col: str,
-                 seed: int = DEFAULT_SEED):
+                 seed: int = DEFAULT_SEED, preserve_top_bit: bool = False):
     """Salt HOT band keys (north_star: "explicit salting of hot
     bands"): rows whose band_key is in *hot_keys* are rescattered into
     ``n_salt`` sub-buckets keyed by hash(id) — a hot bucket's
     candidate-pair work then spreads across partitions and is bounded
     per sub-bucket.
+
+    ``preserve_top_bit=True`` keeps bit 63 of the original key in the
+    salted key (salt entropy confined to the low 63 bits), so the
+    merged band tier's tier tag (pipelines/full.py: caption keys have
+    the top bit cleared, phash keys set) survives salting and salted
+    rows still route to the right in-block emitter by key sign.
 
     Recall semantics: pairs split across sub-buckets are lost IN THAT
     BAND only; a true near-dup pair that also collides in any cold
@@ -166,6 +172,8 @@ def make_salt_fn(hot_keys, n_salt: int, id_col: str,
     hot_arr = np.array(sorted(hot_keys), dtype=np.int64)
     from ..hashing import xxh64_u64
 
+    _TOP = np.uint64(1) << np.uint64(63)
+
     def fn(batch: pa.Table) -> pa.Table:
         keys = batch["band_key"].to_numpy(zero_copy_only=False)
         mask = np.isin(keys, hot_arr)
@@ -177,14 +185,28 @@ def make_salt_fn(hot_keys, n_salt: int, id_col: str,
         from ..hashing import xxh64_arrow
 
         salt = xxh64_arrow(ids, 31337) % np.uint64(n_salt)
-        mixed = xxh64_u64((keys.astype(np.int64).view(np.uint64)
-                           * np.uint64(0x9E3779B185EBCA87)) ^ (salt + np.uint64(1)),
-                          seed + 77)
-        out = np.where(mask, mixed.astype(np.int64), keys)
+        keys_u = keys.astype(np.int64).view(np.uint64)
+        mixed = xxh64_u64((keys_u * np.uint64(0x9E3779B185EBCA87))
+                          ^ (salt + np.uint64(1)), seed + 77)
+        if preserve_top_bit:
+            mixed = (mixed & ~_TOP) | (keys_u & _TOP)
+        out = np.where(mask, mixed.view(np.int64), keys)
         i = batch.schema.get_field_index("band_key")
         return batch.set_column(i, "band_key", pa.array(out))
 
     return fn
+
+
+def auto_hot_threshold(n_band_rows: int, partitions: int,
+                       max_bucket: int) -> int:
+    """Auto-derived hot-band threshold (``DedupConfig
+    hot_threshold="auto"``): a bucket is hot when its TopK-estimated
+    size exceeds ~2× a partition's fair share of the band-row stream —
+    the point where one bucket skews a shuffle receiver — floored at
+    4×max_bucket so small corpora never salt (the pair emitter's cap
+    already bounds their worst case)."""
+    fair_share = -(-2 * n_band_rows // max(1, partitions))
+    return max(4 * max_bucket, fair_share)
 
 
 def make_pair_emitter(id_col: str, max_bucket: int = 128):

@@ -95,12 +95,15 @@ class TestDistributedCCPath:
         assert stats["n_components"] > 0
 
 
-class TestSaltedFallbackPath:
-    def test_hot_threshold_forces_split_tier_and_matches(self, full_result,
-                                                         ray_session):
-        """hot_threshold opts into band salting, which runs on the
-        split-tier fallback; with a threshold no band actually exceeds,
-        assignments must equal the merged default path."""
+class TestSaltedMergedPath:
+    """Hot-band salting composes with the merged band tier (one keyed
+    shuffle for both tiers, salt entropy below the tier tag bit)."""
+
+    def test_no_hot_bands_bit_equal_to_default(self, full_result,
+                                               ray_session):
+        """With a threshold no band actually exceeds, the salted
+        merged path is a no-op: assignments bit-equal the default,
+        and the skew diagnostic reports zero hot buckets."""
         from bloom_filters_ray.pipelines.dedup import DedupConfig
         from bloom_filters_ray.pipelines.full import (FullDedupConfig,
                                                       full_dedup_pipeline)
@@ -110,11 +113,66 @@ class TestSaltedFallbackPath:
         cfg = FullDedupConfig(caption=DedupConfig(hot_threshold=1 << 20))
         ds = corpus_dataset(SF, with_bytes=True).select_columns(
             ["image_id", "bytes", "caption", "phash"])
-        assignments, _ = full_dedup_pipeline(ds, cfg)
+        assignments, stats = full_dedup_pipeline(ds, cfg)
+        assert stats["n_hot_bands"] == 0
+        assert stats["hot_threshold_effective"] == 1 << 20
         a = df_b.sort_values("image_id").reset_index(drop=True)
         b = assignments.to_pandas().sort_values("image_id") \
             .reset_index(drop=True)
         assert a.equals(b)
+
+    def test_auto_threshold_small_corpus_bit_equal(self, full_result,
+                                                   ray_session):
+        """hot_threshold='auto' derives the cut from the band-row
+        count; at test scale the 4×max_bucket floor means nothing
+        salts and assignments stay bit-equal to the default."""
+        from bloom_filters_ray.pipelines.dedup import DedupConfig
+        from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                      full_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import corpus_dataset
+
+        df_b, _ = full_result
+        cfg = FullDedupConfig(caption=DedupConfig(hot_threshold="auto"))
+        ds = corpus_dataset(SF, with_bytes=True).select_columns(
+            ["image_id", "bytes", "caption", "phash"])
+        assignments, stats = full_dedup_pipeline(ds, cfg)
+        assert stats["hot_threshold_effective"] >= 4 * cfg.caption.max_bucket
+        assert stats["n_hot_bands"] == 0
+        a = df_b.sort_values("image_id").reset_index(drop=True)
+        b = assignments.to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_skewed_corpus_salts_and_keeps_recall(self, ray_session):
+        """40% boilerplate captions make LSH buckets hot; with a low
+        threshold the merged path actually salts (n_hot_bands > 0) and
+        the planted near-dup recall survives — hot buckets hold only
+        cross-doc candidates verification would reject, while true
+        pairs also collide in cold bands (and the phash tier)."""
+        from bloom_filters_ray.pipelines.dedup import DedupConfig
+        from bloom_filters_ray.pipelines.full import (FullDedupConfig,
+                                                      full_dedup_pipeline)
+        from bloom_filters_ray.sources.synthetic import (
+            corpus_dataset, make_boiler_skew_fn)
+
+        cfg = FullDedupConfig(
+            caption=DedupConfig(hot_threshold=32, n_salt=8))
+        ds = corpus_dataset(SF, with_bytes=True) \
+            .select_columns(["image_id", "bytes", "caption", "phash",
+                             "doc_id"]) \
+            .map_batches(make_boiler_skew_fn(40), batch_format="pyarrow") \
+            .select_columns(["image_id", "bytes", "caption", "phash"])
+        assignments, stats = full_dedup_pipeline(ds, cfg)
+        assert stats["n_hot_bands"] > 0  # salting actually triggered
+        d = assignments.to_pandas()
+        assert len(d) == 1500
+        d["doc"] = d.image_id.str.slice(4, 12)
+        d["v"] = d.image_id.str.slice(13).astype(int)
+        base = d[d.v == 0].set_index("doc").cluster_id
+        for v in (1, 2):
+            other = d[d.v == v].set_index("doc").cluster_id
+            recall = (base.loc[other.index] == other).mean()
+            assert recall >= 0.99, (v, recall)
 
 
 class TestFullCheckpointResume:

@@ -41,6 +41,57 @@ class TestSaltFn:
         b = make_salt_fn([7], 4, "image_id")(t)
         assert a.equals(b)
 
+    def test_preserve_top_bit_keeps_tier_tag(self):
+        """The merged band tier tags the phash tier with bit 63 (key
+        sign); preserve_top_bit=True confines salt entropy to the low
+        63 bits so salted keys keep their tier."""
+        img_key = np.int64(np.uint64(0x8000_0000_0000_0007).view(np.int64))
+        cap_key = np.int64(7)
+        t = pa.table({
+            "band_key": pa.array([img_key] * 8 + [cap_key] * 8,
+                                 type=pa.int64()),
+            "image_id": [f"x{i}" for i in range(16)],
+        })
+        out = make_salt_fn([int(img_key), int(cap_key)], 4, "image_id",
+                           preserve_top_bit=True)(t)
+        keys = out["band_key"].to_numpy()
+        assert (keys[:8] < 0).all()      # image tier stays negative
+        assert (keys[8:] >= 0).all()     # caption tier stays non-negative
+        assert len(set(keys[:8].tolist())) > 1   # still rescattered
+        assert len(set(keys[8:].tolist())) > 1
+        assert img_key not in set(keys[:8].tolist())
+        assert cap_key not in set(keys[8:].tolist())
+
+    def test_preserve_top_bit_salts_low_bits_identically(self):
+        """Modulo the preserved tag bit, salting is the same mixing —
+        the low 63 bits of a preserved-key salt equal the plain salt's
+        low bits for identical (key, id) input."""
+        t = pa.table({"band_key": pa.array([7] * 6, type=pa.int64()),
+                      "image_id": [f"x{i}" for i in range(6)]})
+        plain = make_salt_fn([7], 4, "image_id")(t)["band_key"] \
+            .to_numpy().view(np.uint64)
+        kept = make_salt_fn([7], 4, "image_id", preserve_top_bit=True)(t)[
+            "band_key"].to_numpy().view(np.uint64)
+        low = np.uint64((1 << 63) - 1)
+        assert (plain & low == kept & low).all()
+        assert (kept >> np.uint64(63) == 0).all()  # tag of key 7 kept
+
+
+class TestAutoThreshold:
+    def test_fair_share_dominates_at_scale(self):
+        from bloom_filters_ray.stages.neardup import auto_hot_threshold
+
+        # 1e9 band rows over 512 partitions: 2x fair share ~ 3.9M
+        assert auto_hot_threshold(10**9, 512, 128) == -(-2 * 10**9 // 512)
+
+    def test_floor_protects_small_corpora(self):
+        from bloom_filters_ray.stages.neardup import auto_hot_threshold
+
+        # small stream: the 4*max_bucket floor wins -> nothing salts
+        # that the pair-emitter cap would not already bound
+        assert auto_hot_threshold(5_000, 32, 128) == 512
+        assert auto_hot_threshold(0, 8, 128) == 512
+
 
 class TestSaltedPipeline:
     def test_recall_preserved_on_skewed_fixture(self, ray_session):
