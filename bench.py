@@ -96,11 +96,15 @@ def bench_sketches(sf_dir: str) -> int:
 
 def bench_image_features(sf_dir: str) -> int:
     """Image-side throughput: pixel synthesis (decode-stand-in) +
-    per-image feature extraction in an actor pool."""
+    per-image feature extraction in an actor pool. BENCH_IMG_COPIES
+    (default 3, so the headline number stays comparable across rounds)
+    sizes the corpus — the non-flagship scaling protocol raises it so
+    per-leg work amortizes executor startup."""
     from bloom_filters_ray.sources.synthetic import corpus_dataset
     from bloom_filters_ray.stages.multimodal import ImageFeatureStage
 
-    ds = corpus_dataset(sf_dir, copies=3, with_bytes=True)
+    copies = int(os.environ.get("BENCH_IMG_COPIES", "3"))
+    ds = corpus_dataset(sf_dir, copies=copies, with_bytes=True)
     return ds.map_batches(ImageFeatureStage, concurrency=max(NUM_CPUS // 2, 2),
                           batch_size=64, batch_format="pyarrow").count()
 
@@ -234,6 +238,31 @@ def bench_full_skewed(sf_dir: str) -> int:
     return len(df)
 
 
+def bench_seenset(sf_dir: str) -> int:
+    """Seen-set streaming prune throughput: corpus captions (COPIES
+    variants/doc -> high dup rate, the realistic prune shape) routed
+    through 8 scalable-Bloom shard actors. BENCH_SEENSET_BS sets the
+    mark_new batch size — the RPC-amortization knob the matched A/B in
+    BASELINE.md measures (each batch costs one check_and_add
+    round-trip per shard, barriered on the slowest shard)."""
+    from bloom_filters_ray.sources.synthetic import corpus_dataset
+    from bloom_filters_ray.stages.seenset import SeenSet
+
+    bs = int(os.environ.get("BENCH_SEENSET_BS", "32768"))
+    ss = SeenSet(num_shards=8, kind="scalable", capacity=1 << 18)
+    ds = corpus_dataset(sf_dir, copies=COPIES, with_bytes=False) \
+        .select_columns(["image_id", "caption"])
+    # materialize: the marking pass must run exactly ONCE (shard actors
+    # are stateful; a second lazy execution would re-mark every key as
+    # seen), and we want both the row count and the new-key tally
+    marked = ss.mark_new(ds, "caption", batch_size=bs).materialize()
+    n = marked.count()
+    EXTRAS["seenset_new"] = int(marked.sum("is_new") or 0)
+    EXTRAS["seenset_batch_size"] = bs
+    ss.shutdown()
+    return n
+
+
 BENCH_QUERIES = {
     "full_neardup": bench_full_neardup,
     "caption_neardup": bench_caption_neardup,
@@ -248,6 +277,7 @@ BENCH_QUERIES = {
 EXTRA_QUERIES = {
     "caption_skewed": bench_caption_skewed,
     "full_skewed": bench_full_skewed,
+    "seenset_prune": bench_seenset,
 }
 
 
@@ -329,6 +359,7 @@ def run_scaling(sf_dir: str) -> dict:
     for cpus in (lo, hi) * max(legs, 1):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                    BENCH_COPIES=str(SCALING_COPIES),
+                   BENCH_IMG_COPIES=str(SCALING_COPIES),
                    BENCH_PARTITIONS=str(PARTITIONS))
         # 2 in-process repeats x BENCH_SCALE_LEGS legs = 6 samples per
         # level; more in-process repeats would stretch each leg past
@@ -411,9 +442,63 @@ def run_salting_ab(sf_dir: str, query: str = "caption_skewed") -> dict:
     return out
 
 
+def run_env_ab(sf_dir: str, query: str, env_var: str,
+               off_val: str, on_val: str) -> dict:
+    """Generic matched A/B: run *query* in INTERLEAVED fresh child
+    processes with *env_var* set to off_val / on_val, best throughput
+    per arm kept — the only drift-safe comparison shape on this host
+    (BASELINE.md). Example:
+    ``python bench.py --ab seenset_prune BENCH_SEENSET_BS 4096 32768``."""
+    pool = {**BENCH_QUERIES, **EXTRA_QUERIES}
+    if query not in pool:
+        raise SystemExit(f"unknown bench query {query!r}; "
+                         f"valid: {sorted(pool)}")
+    arms = {"off": off_val, "on": on_val}
+    legs = int(os.environ.get("BENCH_AB_LEGS", "3"))
+    best: dict[str, dict] = {}
+    for arm, val in [(a, v) for _ in range(max(legs, 1))
+                     for a, v in arms.items()]:
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                   BENCH_PARTITIONS=str(PARTITIONS))
+        env[env_var] = val
+        env.setdefault("RAY_GRAFT_CPUS", str(NUM_CPUS))
+        env.setdefault("BENCH_REPEAT", "2")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", query],
+            env=env, capture_output=True, text=True, check=True)
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        if arm not in best or (res["throughput"][query]
+                               > best[arm]["throughput"][query]):
+            best[arm] = res
+    thr = {a: best[a]["throughput"][query] for a in arms}
+    return {
+        "metric": f"env A/B [{query}] {env_var}={off_val} vs {on_val} "
+                  "(on/off throughput ratio)",
+        "value": round(thr["on"] / thr["off"], 3),
+        "unit": "ratio",
+        "queries": {f"{query}_{a}_sec": best[a]["queries"][query]
+                    for a in arms},
+        "throughput_rows_per_sec": thr,
+        "env_var": env_var,
+        "arms": arms,
+        "extras": {a: best[a].get("extras") for a in arms},
+        "sf": sf_dir,
+        "rows": best["on"]["rows"],
+        "copies": COPIES,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+    elif "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        try:
+            q, var, off, on = sys.argv[i + 1:i + 5]
+        except ValueError:
+            raise SystemExit(
+                "usage: bench.py --ab <query> <ENV_VAR> <off_val> <on_val>")
+        print(json.dumps(run_env_ab(SF_DIR, q, var, off, on)))
     elif "--salting-ab" in sys.argv:
         rest = sys.argv[sys.argv.index("--salting-ab") + 1:]
         print(json.dumps(run_salting_ab(

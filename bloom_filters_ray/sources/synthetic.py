@@ -172,6 +172,34 @@ BOILERPLATE = ("free high resolution stock photo download available now "
                "access unlimited downloads")
 
 
+def make_unique_caption_fn(text_col: str = "caption"):
+    """map_batches fn: append a content-derived token
+    (`` uq{doc_id}x{variant}``) to every caption so each corpus row's
+    caption is UNIQUE. The stock corpus has only 2 distinct captions
+    per doc no matter how many ``copies`` are generated (variants >= 3
+    are exact dups the exact tier collapses) — scaling workloads use
+    this to grow *unique* downstream work with ``copies``. The token is
+    derived from row content (doc_id, variant), never partition/batch
+    position, so the expansion is partitioning-invariant."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cap = batch[text_col]
+        if isinstance(cap, pa.ChunkedArray):
+            cap = cap.combine_chunks()
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        var = batch["variant"].to_numpy(zero_copy_only=False)
+        # vectorized token build: ' uq{doc}x{var}' via numpy unicode
+        tok = np.char.add(
+            np.char.add(" uq", did.astype("U20")),
+            np.char.add("x", var.astype("U10")))
+        out = pc.binary_join_element_wise(cap, pa.array(tok), "")
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, out)
+
+    return fn
+
+
 def make_boiler_skew_fn(pct: int = 20, text_col: str = "caption"):
     """map_batches fn: prefix the captions of ``pct``% of docs (chosen
     by ``doc_id % 100 < pct`` — content-derived, partition-invariant)

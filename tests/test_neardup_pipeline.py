@@ -97,6 +97,30 @@ class TestSyntheticCorpus:
             ham = bin((t["phash"][r0] & mask) ^ (t["phash"][r2] & mask)).count("1")
             assert ham <= 16
 
+    def test_unique_caption_expansion(self):
+        """make_unique_caption_fn makes every row's caption unique
+        (scaling workloads grow unique work with `copies`), stays
+        content-derived (batching-invariant), and keeps the original
+        caption as a prefix so near-dup structure survives."""
+        from bloom_filters_ray.sources.synthetic import \
+            make_unique_caption_fn
+
+        docs = pa.table({"doc_id": pa.array([0, 1, 7], type=pa.int64()),
+                         "text": ["alpha beta gamma delta", "x y z",
+                                  "one two three"]})
+        t = make_variants(docs, copies=6, with_bytes=False)
+        fn = make_unique_caption_fn()
+        out = fn(t)
+        caps = out["caption"].to_pylist()
+        assert len(set(caps)) == len(caps)  # all unique now
+        for orig, uniq, d, v in zip(t["caption"].to_pylist(), caps,
+                                    t["doc_id"].to_pylist(),
+                                    t["variant"].to_pylist()):
+            assert uniq == f"{orig} uq{d}x{v}"
+        # batching-invariant: same rows -> same captions in any split
+        split = pa.concat_tables([fn(t.slice(0, 5)), fn(t.slice(5))])
+        assert split["caption"].to_pylist() == caps
+
     def test_phash_matches_decoded_pixels(self):
         docs = pa.table({"doc_id": pa.array([3], type=pa.int64()),
                          "text": ["the quick brown fox jumps over it"]})

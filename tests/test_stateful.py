@@ -81,6 +81,23 @@ class TestSeenSet:
         finally:
             ss.shutdown()
 
+    def test_batch_size_invariant(self, ray_session):
+        """mark_new's batch_size is an RPC-amortization knob only:
+        the one-winner-per-key contract holds at any batch size."""
+        from bloom_filters_ray.stages.seenset import SeenSet
+
+        ds = _corpus(ray_session).materialize()
+        for bs in (256, 65536):
+            ss = SeenSet(num_shards=4, kind="scalable", capacity=1 << 13,
+                         error_rate=1e-4)
+            try:
+                df = ss.mark_new(ds, "caption", batch_size=bs).to_pandas()
+                winners = df.groupby("caption").is_new.sum()
+                assert winners.max() == 1, bs
+                assert (winners == 0).mean() <= 0.01, bs
+            finally:
+                ss.shutdown()
+
     def test_save_restore_continues(self, ray_session):
         from bloom_filters_ray.stages.seenset import SeenSet
 
