@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from ..hashing import DEFAULT_SEED
 from ..sources.synthetic import CORPUS_SQL, EMB_ZEROED_SQL, corpus_dataset
+from ..stages.sampling import PHI64
 from ..stages.sketch_aggs import build_bloom, build_cms, build_hll, make_bloom_probe_fn
 from ..stages.textstats import (LANG_PROFILES, make_fingerprint_fn,
                                 make_langid_fn, make_quality_fn,
@@ -231,6 +232,32 @@ ORACLES: dict[str, str] = {
         FROM p CROSS JOIN cum JOIN n ON cum.lang = n.lang
         WHERE cc >= (pct * cnt + 99) // 100
         GROUP BY cum.lang, pct
+    """,
+    # fib64(key, seed) twin: z = ((key+seed) * PHI64) mod 2^64 (the
+    # HUGEINT product fits INT128 for any BIGINT key); h = z ^ (z>>32).
+    "doc_splits": f"""
+        SELECT doc_id, CAST(xor(z, z >> 32) % 10 AS BIGINT) AS split
+        FROM (SELECT doc_id,
+                     (((doc_id::HUGEINT + 42) * {PHI64}::HUGEINT)
+                      % 18446744073709551616::HUGEINT)::UBIGINT AS z
+              FROM documents)
+    """,
+    # A-ES weighted sample twin: u = ((h >> 11) + 0.5) * 2^-53,
+    # key = ln(u)/w, global top-50 by key (ties by doc_id).
+    "weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars::DOUBLE AS weight,
+                   ln(((xor(z, z >> 32) >> 11)::DOUBLE + 0.5)
+                      * pow(2.0, -53)) / n_chars::DOUBLE AS skey
+            FROM (SELECT doc_id, n_chars,
+                         (((doc_id::HUGEINT + 42) * {PHI64}::HUGEINT)
+                          % 18446744073709551616::HUGEINT)::UBIGINT AS z
+                  FROM documents WHERE n_chars > 0)
+        )
+        SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, weight
+        FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
     """,
     "bpe_token_stats": f"""
         WITH {CORPUS_SQL}
@@ -1082,6 +1109,41 @@ def q_lang_token_quantiles(sf_dir: str):
     return exact_int_quantiles_by(ds, "lang", "n_tokens", [50, 90, 99])
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test split assignment (stages/
+    sampling.py: hash_split) — split = fib64(doc_id, seed) % 10, a
+    pure per-row multiply-shift hash of row CONTENT. No shuffle, no
+    state: streams at any scale, and a doc keeps its split id under
+    repartitioning, reruns, and corpus growth. HARD-oracled: the SQL
+    twin runs the identical INT128 multiply-mod-2^64 + xor-shift in
+    DuckDB, so every one of the rows' split ids is value-checked."""
+    from ..stages.sampling import hash_split
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return hash_split(ds, "doc_id", n_splits=10, seed=42)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, stages/sampling.py): rank rows by ln(u)/w with
+    u = uniform01(fib64(doc_id, seed)), keep the global top-50 —
+    block-local top-k partials mean at most k rows leave each block
+    (no shuffle at all). HARD-oracled via the fib64 hasher: DuckDB
+    recomputes the exact ranking keys (1-ulp log differences vs a
+    ~1e-10 adjacent-key gap — ordering-safe, see sampling.py) and the
+    compared columns (rank, doc_id, weight) are integer-exact.
+    fib64 trades cross-row independence for SQL reproducibility
+    (see sampling.py's statistical caveat); production sampling
+    uses the default xxh64 hasher, whose k=1 inclusion-probability
+    law is pinned in tests."""
+    from ..stages.sampling import weighted_sample_k
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"]) \
+        .rename_columns({"n_chars": "weight"})
+    return weighted_sample_k(ds, "doc_id", "weight", k=50, seed=42,
+                             hasher="fib64")
+
+
 def q_never_urgent_segments(sf_dir: str):
     """Distributed LEFT ANTI join: customers with NO urgent order,
     counted per market segment — left_outer hash join against the
@@ -1744,6 +1806,8 @@ QUERIES = {
     "lang_distinct_hll": q_lang_distinct_hll,
     "lang_top_texts": q_lang_top_texts,
     "lang_token_quantiles": q_lang_token_quantiles,
+    "doc_splits": q_doc_splits,
+    "weighted_sample": q_weighted_sample,
     "bpe_token_stats": q_bpe_token_stats,
     "bloom_members": q_bloom_members,
     "neardup_clusters": q_neardup_clusters,
