@@ -80,7 +80,12 @@ def _pair_fingerprint(batch: pa.Table) -> tuple[int, int]:
     hb = _id_hash(b, 23)
     mixed = ha * np.uint64(0x9E3779B185EBCA87) ^ hb
     x = np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
-    return len(batch), int(x)
+    # two's-complement signed view: keeps the partial-state tuple
+    # inside int64 so the shuffle stores it as a native Arrow block
+    # (an unsigned value >= 2^63 overflows Arrow's int inference and
+    # forces a pickled-object fallback per state block). The signed
+    # view is an XOR-preserving bijection, so combine() is unchanged.
+    return len(batch), int(x.astype(np.int64))
 
 
 class EdgeFingerprintAgg(AggregateFnV2):

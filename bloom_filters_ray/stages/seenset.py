@@ -175,9 +175,10 @@ class SeenSet:
     def mark_new(self, ds, key_col: str, batch_size: int = 32768):
         """Each map batch costs one check_and_add round-trip per shard
         (a ray.get barrier on the slowest shard), so larger batches
-        amortize RPC rounds ~linearly — 32k is the measured knee on
-        the matched A/B in BASELINE.md; shrink it only if key payloads
-        are huge."""
+        amortize RPC rounds — the 32k default measured 1.39x the
+        throughput of 4k with bit-identical results on the matched
+        A/B in BASELINE.md; shrink it only if key payloads are
+        huge."""
         return ds.map_batches(self.mark_new_fn(key_col),
                               batch_format="pyarrow",
                               batch_size=batch_size)
