@@ -233,6 +233,24 @@ ORACLES: dict[str, str] = {
         WHERE cc >= (pct * cnt + 99) // 100
         GROUP BY cum.lang, pct
     """,
+    "stratified_sample": f"""
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars::DOUBLE AS weight,
+                   ln(((xor(z, z >> 32) >> 11)::DOUBLE + 0.5)
+                      * pow(2.0, -53)) / n_chars::DOUBLE AS skey
+            FROM (SELECT lang, doc_id, n_chars,
+                         (((doc_id::HUGEINT + 42) * {PHI64}::HUGEINT)
+                          % 18446744073709551616::HUGEINT)::UBIGINT AS z
+                  FROM documents WHERE n_chars > 0)
+        )
+        SELECT lang, doc_id, weight, rank FROM (
+            SELECT lang, doc_id, weight,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY skey DESC, doc_id) AS BIGINT) AS rank
+            FROM keyed
+        ) WHERE rank <= 20
+    """,
     # fib64(key, seed) twin: z = ((key+seed) * PHI64) mod 2^64 (the
     # HUGEINT product fits INT128 for any BIGINT key); h = z ^ (z>>32).
     "doc_splits": f"""
@@ -1144,6 +1162,22 @@ def q_weighted_sample(sf_dir: str):
                              hasher="fib64")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified (per-group) weighted sample without replacement: the
+    A-ES top-20 documents per language (stages/sampling.py:
+    stratified_sample_k) — block-local per-group top-k partials, ONE
+    keyed repartition of at most k rows per group per block, final
+    rank. The balanced-per-slice training-sample shape. HARD-oracled
+    like weighted_sample★: fib64 keys recomputed exactly in DuckDB,
+    twin is row_number() OVER (PARTITION BY lang ORDER BY key)."""
+    from ..stages.sampling import stratified_sample_k
+
+    ds = _docs(sf_dir, columns=["lang", "doc_id", "n_chars"]) \
+        .rename_columns({"n_chars": "weight"})
+    return stratified_sample_k(ds, "lang", "doc_id", "weight", k=20,
+                               seed=42, hasher="fib64")
+
+
 def q_never_urgent_segments(sf_dir: str):
     """Distributed LEFT ANTI join: customers with NO urgent order,
     counted per market segment — left_outer hash join against the
@@ -1808,6 +1842,7 @@ QUERIES = {
     "lang_token_quantiles": q_lang_token_quantiles,
     "doc_splits": q_doc_splits,
     "weighted_sample": q_weighted_sample,
+    "stratified_sample": q_stratified_sample,
     "bpe_token_stats": q_bpe_token_stats,
     "bloom_members": q_bloom_members,
     "neardup_clusters": q_neardup_clusters,

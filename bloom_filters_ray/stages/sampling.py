@@ -13,8 +13,10 @@ Two shapes a 100-TB corpus job needs constantly:
    in DuckDB (one INT128 multiply mod 2^64 + xor-shift — the product
    (key + seed) * PHI64 stays inside INT128 for any int64 key, which
    is exactly why the split hash is multiply-shift and not xxh64).
-   For string keys use ``hasher="xxh64"`` (same contract, engine-side
-   vectorized XXH64, not SQL-twinnable).
+   For string/binary keys — or when statistical independence matters
+   more than SQL reproducibility — use ``hasher="xxh64"`` (same
+   contract, engine-side vectorized XXH64 over utf-8 bytes or the
+   8-byte integer word; not SQL-twinnable).
 
 2. ``weighted_sample_k`` — distributed weighted sampling WITHOUT
    replacement (Efraimidis & Spirakis, "Weighted random sampling with
@@ -141,6 +143,85 @@ def make_weighted_partial_fn(id_col: str, weight_col: str, k: int,
         })
 
     return fn
+
+
+def _group_topk_block_fn(group_col: str, id_col: str, weight_col: str,
+                         k: int, seed: int, hasher: str, final: bool):
+    """Whole-block per-group A-ES top-k ranker. Vectorized: the group
+    column is dictionary-encoded per block (codes, not strings, get
+    lexsorted), segment-relative positions give the in-group rank.
+    Partial pass emits (group, id, weight) of each block's per-group
+    top-k; the final pass (after the keyed repartition co-locates each
+    group) adds the 1-based ``rank``. Correct because the global
+    per-group top-k is a subset of the union of block-local ones."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        # group type taken from the input (never hardcoded), so an
+        # empty block keeps the schema stable for any group key type
+        out_schema = pa.schema(
+            [(group_col, g.type), (id_col, pa.int64()),
+             (weight_col, pa.float64())]
+            + ([("rank", pa.int64())] if final else []))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        key = _aes_keys(ids, w, seed, hasher)
+        pos_w = key > -np.inf
+        if not pos_w.all():
+            g, ids, w, key = (g.filter(pa.array(pos_w)), ids[pos_w],
+                              w[pos_w], key[pos_w])
+        if len(ids) == 0:
+            return out_schema.empty_table()
+        denc = g.dictionary_encode()
+        gcodes = np.asarray(denc.indices).astype(np.int64)
+        order = np.lexsort((ids, -key, gcodes))
+        gs = gcodes[order]
+        pos = np.arange(len(gs), dtype=np.int64)
+        new_g = np.ones(len(gs), dtype=bool)
+        new_g[1:] = gs[1:] != gs[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_g, pos, 0))
+        rk = pos - seg_start + 1
+        keep = rk <= k
+        sel = order[keep]
+        cols = {group_col: g.take(pa.array(sel)),
+                id_col: pa.array(ids[sel], type=pa.int64()),
+                weight_col: pa.array(w[sel], type=pa.float64())}
+        if final:
+            cols["rank"] = pa.array(rk[keep], type=pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
+def stratified_sample_k(ds, group_col: str, id_col: str, weight_col: str,
+                        k: int, seed: int = 0, hasher: str = "xxh64",
+                        num_partitions: int | None = None):
+    """Per-GROUP weighted sample without replacement (stratified
+    A-ES): the top-k rows by ln(u)/w within every group — e.g. a
+    balanced 20-docs-per-language training sample. Distributed shape:
+    block-local per-group top-k partials (at most k rows per group
+    leave each block) → ONE keyed repartition of those partials →
+    the same ranker finalizes per-group ranks. The raw dataset never
+    shuffles; with G groups the exchange moves at most k·G·blocks
+    rows. Same determinism contract as weighted_sample_k, and the
+    fib64 hasher makes it DuckDB-reproducible (row_number() OVER
+    (PARTITION BY group ORDER BY key DESC) <= k)."""
+    from ..util import cluster_cpus, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    p = num_partitions or max(8, cluster_cpus())
+    partials = ds.map_batches(
+        _group_topk_block_fn(group_col, id_col, weight_col, k, seed,
+                             hasher, final=False),
+        batch_format="pyarrow")
+    co = partials.repartition(p, keys=[group_col])
+    return co.map_batches(
+        _group_topk_block_fn(group_col, id_col, weight_col, k, seed,
+                             hasher, final=True),
+        batch_format="pyarrow", batch_size=None)
 
 
 def weighted_sample_k(ds, id_col: str, weight_col: str, k: int,

@@ -156,6 +156,53 @@ class TestWeightedSample:
         sigma = np.sqrt(n * p * (1 - p))
         assert (np.abs(wins - n * p) < 4 * sigma).all()
 
+    def test_stratified_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from bloom_filters_ray.stages.sampling import stratified_sample_k
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        # BEFORE from_arrow: each Dataset snapshots the DataContext
+        ensure_hash_shuffle()
+        rng = np.random.default_rng(13)
+        n = 3000
+        groups = rng.choice(["en", "fr", "de", "ja"], size=n)
+        ids = rng.permutation(n).astype(np.int64)
+        w = rng.integers(1, 50, size=n).astype(np.float64)
+        tbl = pa.table({"g": groups, "doc_id": ids, "weight": w})
+        out = stratified_sample_k(
+            ray.data.from_arrow(tbl).repartition(9), "g", "doc_id",
+            "weight", k=7, seed=4).to_pandas()
+        key = _aes_keys(ids, w, 4, "xxh64")
+        for gname in ("en", "fr", "de", "ja"):
+            m = groups == gname
+            order = np.lexsort((ids[m], -key[m]))[:7]
+            expect = ids[m][order]
+            got = out[out["g"] == gname].sort_values("rank")
+            assert got["doc_id"].to_numpy().tolist() == expect.tolist()
+            assert got["rank"].tolist() == list(range(1, len(expect) + 1))
+
+    def test_stratified_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from bloom_filters_ray.stages.sampling import stratified_sample_k
+        from bloom_filters_ray.util import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+        rng = np.random.default_rng(21)
+        tbl = pa.table({
+            "g": rng.choice(["a", "b"], size=1000),
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "weight": rng.integers(1, 9, size=1000).astype(np.float64)})
+
+        def run(parts):
+            df = stratified_sample_k(
+                ray.data.from_arrow(tbl).repartition(parts), "g",
+                "doc_id", "weight", k=5, seed=8).to_pandas()
+            return df.sort_values(["g", "rank"]).reset_index(drop=True)
+
+        assert run(3).equals(run(11))
+
     def test_fib64_hasher_matches_duckdb_topk(self):
         # the full weighted_sample oracle-twin law, driver-side
         import duckdb
