@@ -363,6 +363,12 @@ class TestKLLAgg:
             r_est = np.searchsorted(sv, est, side="right") / len(sv)
             assert abs(r_est - p / 100) <= 0.02, (p, est, exact[p])
 
+    def test_registry_invariant_every_oracle_has_a_query(self):
+        # a dangling ORACLES key would silently never be gate-checked
+        from bloom_filters_ray.pipelines.queries import ORACLES, QUERIES
+
+        assert not set(ORACLES) - set(QUERIES)
+
     def test_query_registered_rows_only(self, ray_session):
         from bloom_filters_ray.pipelines.queries import ORACLES, QUERIES
 
