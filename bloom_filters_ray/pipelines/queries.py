@@ -1561,6 +1561,45 @@ def q_token_quantiles_kll(sf_dir: str):
     })
 
 
+def q_lang_token_quantiles_kll(sf_dir: str):
+    """KLL sketch quantiles PER GROUP — one KLLSketch per language via
+    groupby(lang).aggregate(KLLAgg), completing the per-slice
+    exact-vs-sketch matrix (distinct: lang_distinct_docs★ vs
+    lang_distinct_hll; heavy hitters: lang_top_texts★; quantiles:
+    lang_token_quantiles★ vs THIS). Only fixed-size level stacks move
+    through the hash shuffle — the scale path when a group's value
+    domain is unbounded and the exact histogram's max_hist_rows gate
+    trips. Approximate (rows-only); the per-group rank-error contract
+    vs the exact twin is pinned in tests."""
+    import pickle
+
+    from ..stages.sketch_aggs import KLLAgg
+
+    ensure_hash_shuffle()
+    agg = _docs(sf_dir, columns=["lang", "text"]) \
+        .map_batches(make_token_stats_fn(id_col="lang", text_col="text"),
+                     batch_format="pyarrow") \
+        .select_columns(["lang", "n_tokens"]) \
+        .groupby("lang").aggregate(KLLAgg(on="n_tokens", k=200))
+    pcts = [50, 90, 99]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        langs, out_p, out_q = [], [], []
+        for lang, blob in zip(batch["lang"].to_pylist(),
+                              batch["kll"].to_pylist()):
+            qs = pickle.loads(blob).quantiles(pcts)
+            langs.extend([lang] * len(pcts))
+            out_p.extend(pcts)
+            out_q.extend(float(q) for q in qs)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "pct": pa.array(out_p, type=pa.int64()),
+            "q_est": pa.array(out_q, type=pa.float64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def q_seenset_mark(sf_dir: str):
     """Streaming seen-set pruning: sharded ScalableBloom actors mark
     the first arrival of each caption (is_new). Winner identity is
@@ -1875,6 +1914,7 @@ QUERIES = {
     "topk_sketch": q_topk_sketch,
     "token_quantiles": q_token_quantiles,
     "token_quantiles_kll": q_token_quantiles_kll,
+    "lang_token_quantiles_kll": q_lang_token_quantiles_kll,
     "seenset_mark": q_seenset_mark,
     "substring_dups": q_substring_dups,
     "ann_topk": q_ann_topk,

@@ -363,6 +363,25 @@ class TestKLLAgg:
             r_est = np.searchsorted(sv, est, side="right") / len(sv)
             assert abs(r_est - p / 100) <= 0.02, (p, est, exact[p])
 
+    def test_grouped_kll_equals_exact_twin_at_small_scale(self,
+                                                          ray_session):
+        """Per-group KLL vs the exact per-group histogram: at sf0.001
+        every language group is far smaller than k=200, so the sketch
+        never compacts and its threshold-rule quantiles must equal the
+        exact twin EXACTLY — a bit-level twin gate, not just an error
+        envelope."""
+        from bloom_filters_ray.pipelines.queries import (
+            q_lang_token_quantiles, q_lang_token_quantiles_kll)
+
+        exact = q_lang_token_quantiles(SF).to_pandas() \
+            .sort_values(["lang", "pct"]).reset_index(drop=True)
+        est = q_lang_token_quantiles_kll(SF).to_pandas() \
+            .sort_values(["lang", "pct"]).reset_index(drop=True)
+        assert exact["lang"].tolist() == est["lang"].tolist()
+        assert exact["pct"].tolist() == est["pct"].tolist()
+        assert (exact["q"].to_numpy(dtype=np.float64)
+                == est["q_est"].to_numpy()).all()
+
     def test_registry_invariant_every_oracle_has_a_query(self):
         # a dangling ORACLES key would silently never be gate-checked
         from bloom_filters_ray.pipelines.queries import ORACLES, QUERIES
